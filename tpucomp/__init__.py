@@ -1,0 +1,30 @@
+"""tpucomp — TPU-native batched lossless compression.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of NVIDIA nvCOMP
+(see SURVEY.md): batched chunk-parallel codecs (LZ4, Snappy, Cascaded, rANS,
+Deflate/GDeflate, Bitcomp-style, CRC32), a low-level batched API over
+device-resident size/status arrays, and a high-level Manager with a
+self-describing frame format, scaling over multi-chip meshes via shard_map.
+"""
+from tpucomp.constants import (
+    DEFAULT_CHUNK_SIZE,
+    ElementType,
+    MAX_ALLOWED_CHUNK_SIZE,
+    REQUIRED_ALIGNMENT,
+    Status,
+)
+from tpucomp.chunk import ChunkBatch, plan_chunks, plan_chunks_page_prefixed
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ChunkBatch",
+    "DEFAULT_CHUNK_SIZE",
+    "ElementType",
+    "MAX_ALLOWED_CHUNK_SIZE",
+    "REQUIRED_ALIGNMENT",
+    "Status",
+    "plan_chunks",
+    "plan_chunks_page_prefixed",
+    "__version__",
+]

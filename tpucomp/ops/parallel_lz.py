@@ -1,0 +1,168 @@
+"""Shared TPU-native primitives for parallel LZ-family codecs.
+
+The reference's LZ4/Snappy/Deflate CUDA kernels walk token streams serially per
+threadblock (``doc/algorithms_overview.md:50-52``).  A byte-serial walk is the wrong
+shape for a TPU (one scalar unit, 8x128-lane VPU), so every LZ-family codec here is
+built from three *fully vectorized* primitives instead:
+
+1. ``suffix_run_length`` — log-depth associative scan giving, per position, the length
+   of the run of True values starting there (used for 0xFF length-extension runs,
+   RLE-style long-match detection, etc.).
+2. ``wyllie_path`` — pointer-jumping list ranking over the "next token" functional
+   graph: every byte position *speculatively* computes where a token starting there
+   would end (vector math), then O(log n) gather/scatter rounds recover exactly the
+   positions on the true token chain starting at offset 0 along with the running
+   output offset.  This replaces the serial parse.
+3. ``resolve_copy_chain`` — log-doubling gather resolution of LZ77 back-references,
+   including self-overlapping matches (offset < length), per "Massively-Parallel
+   Lossless Data Decompression" (PAPERS.md).
+
+All functions are per-chunk with static shapes; callers ``jax.vmap`` them over the
+chunk axis to get the reference's one-threadblock-per-chunk batch parallelism
+(``doc/lowlevel_c_quickstart.md:3-13``) as one big fused XLA program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def suffix_run_length(pred: jax.Array) -> jax.Array:
+    """For each i: number of consecutive True values in ``pred[i:]`` starting at i.
+
+    Log-depth via ``associative_scan`` on (run_length, segment_all_true) pairs,
+    scanned right-to-left.
+    """
+    return prefix_run_length(pred[::-1])[::-1]
+
+
+def prefix_run_length(pred: jax.Array) -> jax.Array:
+    """For each i: number of consecutive True values in ``pred[:i+1]`` ending at i."""
+    pred = pred.astype(jnp.int32)
+
+    def combine(a, b):
+        run_a, all_a = a
+        run_b, all_b = b
+        return run_b + all_b * run_a, all_a * all_b
+
+    runs, _ = jax.lax.associative_scan(combine, (pred, pred), axis=0)
+    return runs
+
+
+def exclusive_cummax(x: jax.Array, initial: int = 0) -> jax.Array:
+    """Exclusive running maximum (used to find "most recent marker before me")."""
+    shifted = jnp.concatenate([jnp.full((1,), initial, x.dtype), x[:-1]])
+    return jax.lax.associative_scan(jnp.maximum, shifted, axis=0)
+
+
+def wyllie_path(nxt: jax.Array, weight: jax.Array, num_rounds: int,
+                start: int = 0) -> tuple[jax.Array, jax.Array]:
+    """Pointer-jumping list ranking over a functional graph.
+
+    Args:
+      nxt: ``int32[n]`` — for every position i, the (speculative) successor
+        position of a token starting at i.  Values ``>= n`` mean "terminal".
+        On the true chain positions must be strictly increasing (no cycles).
+      weight: ``int32[n]`` — per-token weight (e.g. decompressed bytes emitted).
+      num_rounds: static number of doubling rounds; must satisfy
+        ``2**num_rounds >= max possible chain length`` (``ceil(log2(n))`` since each
+        token consumes >= 1 input byte).
+      start: chain head position.
+
+    Returns:
+      (reach, rank): ``bool[n]`` marking positions on the chain from ``start``, and
+      ``int32[n]`` where ``rank[p]`` = sum of ``weight`` over chain nodes strictly
+      before p (i.e. the output offset at which token p's output begins).  Entries
+      off the chain are undefined.
+    """
+    n = nxt.shape[0]
+    dump = n  # overflow slot for masked scatters
+    nxt = jnp.clip(nxt, 0, n).astype(jnp.int32)
+    acc = weight.astype(jnp.int32)
+
+    reach = jnp.zeros((n + 1,), jnp.bool_).at[start].set(True)
+    rank = jnp.zeros((n + 1,), jnp.int32)
+
+    def body(_, state):
+        nxt, acc, reach, rank = state
+        # Extend the reached set by 2^k steps and scatter ranks to the new nodes.
+        targets = jnp.where(reach[:n], nxt, dump)
+        new_rank = rank.at[targets].max(rank[:n] + acc)
+        new_reach = reach.at[targets].set(True)
+        # Double the jump pointers.
+        nxt_safe = jnp.minimum(nxt, n - 1)
+        acc2 = acc + jnp.where(nxt < n, acc[nxt_safe], 0)
+        nxt2 = jnp.where(nxt < n, nxt[nxt_safe], nxt)
+        return nxt2, acc2, new_reach, new_rank
+
+    nxt, acc, reach, rank = jax.lax.fori_loop(
+        0, num_rounds, body, (nxt, acc, reach, rank))
+    return reach[:n], rank[:n]
+
+
+def chain_total(nxt: jax.Array, weight: jax.Array, num_rounds: int,
+                start: int = 0) -> tuple[jax.Array, jax.Array]:
+    """Sum of ``weight`` along the full chain from ``start`` and the terminal's
+    "landing" position (first value >= n reached).  Cheaper companion to
+    ``wyllie_path`` when only totals are needed."""
+    n = nxt.shape[0]
+    nxt = jnp.clip(nxt, 0, n).astype(jnp.int32)
+
+    def body(_, state):
+        pos, total, land = state
+        alive = pos < n
+        pos_safe = jnp.minimum(pos, n - 1)
+        total = total + jnp.where(alive, weight[pos_safe], 0)
+        new_pos = jnp.where(alive, nxt[pos_safe], pos)
+        land = jnp.where(alive, new_pos, land)
+        return new_pos, total, land
+
+    # Serial walk is O(chain); callers use wyllie_path for the real work — this
+    # helper exists only for small/debug cases.
+    pos, total, land = jax.lax.while_loop(
+        lambda s: s[0] < n,
+        lambda s: body(0, s),
+        (jnp.int32(start), jnp.int32(0), jnp.int32(start)))
+    return total, land
+
+
+def mark_to_segment_id(marks: jax.Array) -> jax.Array:
+    """Given bool marks of segment starts, return int32 segment ids (cumsum-1)."""
+    return jnp.cumsum(marks.astype(jnp.int32)) - 1
+
+
+def segment_owner(starts_scatter: jax.Array) -> jax.Array:
+    """Given an int32 array where position s holds the marker value for a segment
+    starting at s (and a sentinel elsewhere, typically -1 or the position itself at
+    starts), return for each position the most recent marker at or before it
+    (inclusive running max)."""
+    return jax.lax.associative_scan(jnp.maximum, starts_scatter, axis=0)
+
+
+def resolve_copy_chain(ptr: jax.Array, val: jax.Array, known: jax.Array,
+                       max_rounds: int) -> jax.Array:
+    """Resolve LZ77 back-reference chains by log-doubling.
+
+    Every output position o either holds a known byte (literal) or points to an
+    earlier output position ``ptr[o] < o`` it copies from.  Doubling the pointers
+    resolves chains of any depth in ``ceil(log2(n))`` rounds; an early-exit
+    ``while_loop`` stops as soon as every position is known (typical data resolves
+    in a handful of rounds).
+    """
+    n = ptr.shape[0]
+    ptr = jnp.clip(ptr, 0, n - 1).astype(jnp.int32)
+
+    def cond(state):
+        i, _, _, known = state
+        return jnp.logical_and(i < max_rounds, jnp.logical_not(jnp.all(known)))
+
+    def body(state):
+        i, ptr, val, known = state
+        val = jnp.where(known, val, val[ptr])
+        new_known = jnp.logical_or(known, known[ptr])
+        ptr = jnp.where(known, ptr, ptr[ptr])
+        return i + 1, ptr, val, new_known
+
+    _, _, val, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), ptr, val, known))
+    return val
