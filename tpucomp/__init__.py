@@ -6,6 +6,14 @@ Deflate/GDeflate, Bitcomp-style, CRC32), a low-level batched API over
 device-resident size/status arrays, and a high-level Manager with a
 self-describing frame format, scaling over multi-chip meshes via shard_map.
 """
+import jax as _jax
+
+# Lossless integer codecs need true 64-bit integer types (LONGLONG/ULONGLONG
+# element support, 64-bit frame-of-reference minima).  JAX downcasts to 32-bit
+# unless x64 is enabled, which would silently corrupt data — so the library
+# requires it.  Hot kernels still use 32-bit internally where possible.
+_jax.config.update("jax_enable_x64", True)
+
 from tpucomp.constants import (
     DEFAULT_CHUNK_SIZE,
     ElementType,

@@ -1,0 +1,171 @@
+"""tpucomp.batched — the low-level batched API (LLIF analog).
+
+TPU-native equivalent of nvCOMP's ``nvcompBatched<Fmt>*`` C function families
+(``doc/lowlevel_c_quickstart.md:32-137``): batches of independent chunks with
+device-resident size vectors, padded max-size outputs, per-chunk actual sizes and
+per-chunk status codes.  Differences that are deliberate TPU-first design, not
+omissions:
+
+* ``CompressGetTempSize`` / ``DecompressGetTempSize`` have no analog — XLA owns
+  scratch allocation inside the compiled program, so the temp-buffer dance is
+  unnecessary.  ``compress_get_temp_size()`` exists for API parity and returns 0.
+* Instead of per-chunk device pointers, a batch is one dense
+  ``uint8[num_chunks, max_chunk_bytes]`` array + ``int32[num_chunks]`` sizes
+  (:class:`tpucomp.chunk.ChunkBatch`) — the same padded-max convention the
+  reference uses for *outputs* (``examples/low_level_quickstart_example.cpp:68-98``).
+* Everything is ``jit``-compiled and dispatches asynchronously; the analog of
+  ``cudaStreamSynchronize`` is ``jax.block_until_ready``.
+
+The three decompress workflows of the reference (exact sizes known / only max
+known / unknown, ``doc/lowlevel_c_quickstart.md:81-110``) map to: call
+:func:`decompress` with a known ``max_uncomp_chunk_bytes``, or call
+:func:`get_decompress_size` first when sizes are unknown.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from tpucomp import logging as tlog
+from tpucomp.chunk import ChunkBatch
+from tpucomp.constants import Status
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecSpec:
+    """One registered format (analog of a ``nvcompBatched<Fmt>`` function family)."""
+
+    name: str
+    compress_batch: Callable  # (data, sizes, opts, out_cap) -> (out, out_sizes, statuses)
+    decompress_batch: Callable  # (comp, comp_sizes, out_cap) -> (out, out_sizes, statuses)
+    max_compressed_chunk_size: Callable[[int, Any], int]
+    default_opts: Any
+    get_decompress_size: Callable | None = None  # vmappable (comp, comp_size) -> size
+    decompression_only: bool = False  # e.g. gzip (README.md:16)
+
+
+_REGISTRY: dict[str, CodecSpec] = {}
+
+
+def register(spec: CodecSpec) -> None:
+    _REGISTRY[spec.name] = spec
+
+
+def formats() -> list[str]:
+    """All registered format names."""
+    _ensure_registered()
+    return sorted(_REGISTRY)
+
+
+def _get(name: str) -> CodecSpec:
+    _ensure_registered()
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown format {name!r}; available: {formats()}") from None
+
+
+def _ensure_registered() -> None:
+    if _REGISTRY:
+        return
+    # late import to avoid cycles
+    from tpucomp.formats import register_all
+    register_all()
+
+
+# -------------------------------------------------------------------------------------
+# public API
+# -------------------------------------------------------------------------------------
+
+def compress_get_max_output_chunk_size(fmt: str, max_uncompressed_chunk_bytes: int,
+                                       opts: Any = None) -> int:
+    """Analog of ``nvcompBatched<Fmt>CompressGetMaxOutputChunkSize``."""
+    spec = _get(fmt)
+    opts = opts if opts is not None else spec.default_opts
+    return spec.max_compressed_chunk_size(max_uncompressed_chunk_bytes, opts)
+
+
+def compress_get_temp_size(fmt: str, num_chunks: int = 0,
+                           max_uncompressed_chunk_bytes: int = 0) -> int:
+    """API-parity shim: XLA manages scratch, so the answer is always 0."""
+    _get(fmt)
+    return 0
+
+
+def decompress_get_temp_size(fmt: str, num_chunks: int = 0,
+                             max_uncompressed_chunk_bytes: int = 0) -> int:
+    """API-parity shim: XLA manages scratch, so the answer is always 0."""
+    _get(fmt)
+    return 0
+
+
+def compress(fmt: str, batch: ChunkBatch, opts: Any = None,
+             out_cap: int | None = None) -> tuple[ChunkBatch, jax.Array]:
+    """Analog of ``nvcompBatched<Fmt>CompressAsync``.
+
+    Returns ``(compressed_batch, statuses)``; the compressed batch's ``data`` is
+    padded to ``out_cap`` (default: the format's max output chunk size) with
+    per-chunk actual sizes in ``.sizes``.
+    """
+    spec = _get(fmt)
+    if spec.decompression_only:
+        raise ValueError(f"{fmt} provides decompression only")
+    opts = opts if opts is not None else spec.default_opts
+    if out_cap is None:
+        out_cap = spec.max_compressed_chunk_size(batch.max_chunk_bytes, opts)
+    tlog.api_call(f"batched.{fmt}.compress", num_chunks=batch.num_chunks,
+                  max_chunk_bytes=batch.max_chunk_bytes, out_cap=out_cap)
+    out, sizes, statuses = spec.compress_batch(batch.data, batch.sizes, opts, out_cap)
+    return ChunkBatch(data=out, sizes=sizes), statuses
+
+
+def decompress(fmt: str, comp: ChunkBatch,
+               max_uncompressed_chunk_bytes: int) -> tuple[ChunkBatch, jax.Array]:
+    """Analog of ``nvcompBatched<Fmt>DecompressAsync``.
+
+    Corrupt chunks yield status ``ERROR_CANNOT_DECOMPRESS`` and size 0 — never an
+    out-of-bounds access (reference contract ``CHANGELOG.md:160-164``).
+    """
+    spec = _get(fmt)
+    tlog.api_call(f"batched.{fmt}.decompress", num_chunks=comp.num_chunks,
+                  out_cap=max_uncompressed_chunk_bytes)
+    out, sizes, statuses = spec.decompress_batch(
+        comp.data, comp.sizes, max_uncompressed_chunk_bytes)
+    return ChunkBatch(data=out, sizes=sizes), statuses
+
+
+def get_decompress_size(fmt: str, comp: ChunkBatch) -> jax.Array:
+    """Analog of ``nvcompBatched<Fmt>GetDecompressSizeAsync`` (workflow 3,
+    ``doc/lowlevel_c_quickstart.md:104-110``): per-chunk decompressed byte counts
+    parsed from the compressed streams, device-resident."""
+    spec = _get(fmt)
+    if spec.get_decompress_size is None:
+        raise NotImplementedError(f"{fmt} does not carry sizes in-stream")
+    tlog.api_call(f"batched.{fmt}.get_decompress_size", num_chunks=comp.num_chunks)
+    return jax.vmap(spec.get_decompress_size)(comp.data, comp.sizes)
+
+
+def roundtrip_verify(fmt: str, batch: ChunkBatch, opts: Any = None) -> bool:
+    """Compress then decompress and compare bit-exactly (the reference's
+    standard verification pass, ``benchmark_template_chunked.cuh:553-584``)."""
+    import numpy as np
+    comp, cstat = compress(fmt, batch, opts)
+    dec, dstat = decompress(fmt, comp, batch.max_chunk_bytes)
+    if not bool(jnp.all(cstat == Status.SUCCESS)) or \
+       not bool(jnp.all(dstat == Status.SUCCESS)):
+        return False
+    if not bool(jnp.all(dec.sizes == batch.sizes)):
+        return False
+    return bool(np.asarray(dec.data == batch.data).all() or
+                dec.to_bytes() == batch.to_bytes())
+
+
+__all__ = [
+    "CodecSpec", "register", "formats",
+    "compress", "decompress", "get_decompress_size",
+    "compress_get_max_output_chunk_size", "compress_get_temp_size",
+    "decompress_get_temp_size", "roundtrip_verify",
+]

@@ -1,0 +1,306 @@
+"""rANS entropy codec (batched, interleaved), TPU-native.
+
+Analog of the reference's ANS format (``nvcompBatchedANS*``; GPU-native rANS,
+``README.md:17``, ``benchmarks/benchmark_ans_chunked.cu:32,40-49`` — empty opts,
+chunks < 2^32-1 B).  nvCOMP's container is closed-source, so the chunk format here
+is our own; behavior parity is what matters: a pure entropy stage (no LZ), byte
+alphabet, per-chunk adaptive tables, batched throughput.
+
+Design (standard interleaved rANS a la ryg_rans, vectorized the TPU way):
+  * 128 independent rANS states per chunk, lane ``j`` owning byte positions
+    ``j, j+128, j+256, ...`` — one ``lax.scan`` step advances all lanes (and all
+    chunks under ``vmap``) at once, so the sequential dependency is only over
+    ``ceil(chunk/128)`` steps of fully vectorized work.
+  * 32-bit states, 16-bit renormalization, 12-bit quantized frequencies
+    (emission is at most one u16 per symbol, so buffer bounds are static).
+  * Each lane writes its own stream region (reversed, so the decoder reads
+    forward); regions are compacted by prefix-summed lane word counts.
+
+Chunk format (little-endian):
+  u8 magic=0xA5, u8 version=1, u16 reserved, u32 size, u32 total_words,
+  u16 freq[256] (12-bit quantized, sum=4096), u32 state[128], u16 wcount[128],
+  then the concatenated per-lane u16 streams.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpucomp.constants import Status
+
+MAGIC = 0xA5
+VERSION = 1
+N_LANES = 128
+PROB_BITS = 12
+PROB_SCALE = 1 << PROB_BITS
+RANS_L = jnp.uint32(1 << 16)
+HEADER_BYTES = 12 + 512 + 512 + 256  # fixed fields + freq + states + wcounts
+
+
+@dataclasses.dataclass(frozen=True)
+class ANSOpts:
+    """Analog of ``nvcompBatchedANSOpts_t`` (single-value enum in 3.0.3)."""
+
+
+DEFAULT_OPTS = ANSOpts()
+
+
+def max_compressed_chunk_size(max_chunk_bytes: int, opts: ANSOpts = DEFAULT_OPTS) -> int:
+    """Worst case: one u16 emitted per symbol plus the fixed header."""
+    return HEADER_BYTES + 2 * max_chunk_bytes + 64
+
+
+# =====================================================================================
+# frequency quantization
+# =====================================================================================
+
+def quantize_freqs(counts: jax.Array, size: jax.Array) -> jax.Array:
+    """Quantize 256 byte counts to 12-bit frequencies summing exactly PROB_SCALE.
+
+    Present symbols (count>0) get freq>=1; absent symbols get 0.  Uses floor
+    scaling plus largest-remainder distribution, with a final correction on the
+    most frequent symbol (always large enough to absorb it).
+    """
+    counts = counts.astype(jnp.int64)
+    size = jnp.maximum(size.astype(jnp.int64), 1)
+    scaled = counts * PROB_SCALE
+    base = scaled // size
+    rem = scaled - base * size
+    base = jnp.where(jnp.logical_and(counts > 0, base == 0), 1, base)
+    # distribute the remaining budget to the largest remainders
+    budget = PROB_SCALE - jnp.sum(base)
+    order = jnp.argsort(-rem)  # descending remainders
+    bonus_sorted = (jnp.arange(256) < budget).astype(jnp.int64)
+    bonus = jnp.zeros((256,), jnp.int64).at[order].set(bonus_sorted)
+    bonus = jnp.where(counts > 0, bonus, 0)
+    freq = base + bonus
+    # exact-sum correction: push the residual onto the largest frequencies,
+    # never dropping a present symbol below 1.  A handful of rounds always
+    # converges (each round absorbs up to freq[argmax]-1 units).
+    for _ in range(4):
+        resid = PROB_SCALE - jnp.sum(freq)
+        top = jnp.argmax(freq)
+        delta = jnp.clip(resid, 1 - freq[top], None)
+        freq = freq.at[top].add(delta)
+    return freq.astype(jnp.int32)
+
+
+# =====================================================================================
+# encode
+# =====================================================================================
+
+def encode_chunk(data: jax.Array, size: jax.Array, opts: ANSOpts,
+                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Encode one chunk -> (out uint8[out_cap], out_size, status)."""
+    cap = data.shape[0]
+    size = size.astype(jnp.int32)
+    T = -(-cap // N_LANES)  # steps per lane (static)
+
+    counts = jnp.zeros((256,), jnp.int32).at[data.astype(jnp.int32)].add(
+        (jnp.arange(cap) < size).astype(jnp.int32))
+    freq = quantize_freqs(counts, size)
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(freq)[:-1].astype(jnp.int32)])
+
+    freq_u = freq.astype(jnp.uint32)
+    cum_u = cum.astype(jnp.uint32)
+
+    # symbols laid out [T, N_LANES]: step t, lane j -> position t*N_LANES+j
+    pos = (jnp.arange(T)[:, None] * N_LANES
+           + jnp.arange(N_LANES)[None, :]).astype(jnp.int32)
+    sym = data[jnp.clip(pos, 0, cap - 1)].astype(jnp.int32)
+    active = pos < size
+
+    def step(carry, inp):
+        x, wcount = carry
+        s, act = inp
+        f = freq_u[s]
+        c = cum_u[s]
+        x_max = (f << jnp.uint32(20))  # ((L>>PROB_BITS)<<16) * f
+        # f == PROB_SCALE (single-symbol chunk) makes x_max wrap to 0; the true
+        # threshold is 2^32, i.e. never emit.
+        emit = jnp.logical_and(jnp.logical_and(act, x_max != 0), x >= x_max)
+        word = (x & jnp.uint32(0xFFFF)).astype(jnp.uint32)
+        x = jnp.where(emit, x >> 16, x)
+        fs = jnp.maximum(f, 1)  # guard div-by-0 for inactive lanes
+        x_new = ((x // fs) << jnp.uint32(PROB_BITS)) + (x % fs) + c
+        x = jnp.where(act, x_new, x)
+        wcount_new = wcount + emit.astype(jnp.int32)
+        return (x, wcount_new), (jnp.where(emit, word, 0).astype(jnp.uint32),
+                                 emit)
+
+    # encode in REVERSE position order (rANS is LIFO)
+    init = (jnp.full((N_LANES,), RANS_L, jnp.uint32),
+            jnp.zeros((N_LANES,), jnp.int32))
+    (x_fin, wcount), (words_rev, emits_rev) = jax.lax.scan(
+        step, init, (sym[::-1], active[::-1]))
+    # words_rev[t] was emitted at reverse-step t; the decoder consumes them in
+    # the opposite order, so per-lane streams store words in emission order
+    # REVERSED = forward-consumption order.
+    # Compact: lane j's words (in reverse-emission order == decode order) are
+    # words_rev[t, j] for emitting steps t taken in *decreasing* t?  No:
+    # decode order = reverse of emission order; emission order within a lane is
+    # scan order t=0.. (which is reverse position order).  So decode order is
+    # ascending position order == descending t of the reversed scan == flip.
+    words_dec = words_rev[::-1]      # [T, N_LANES] in decode order
+    emits_dec = emits_rev[::-1]
+
+    # per-lane compaction into [N_LANES, T] then flatten at lane offsets
+    words_l = words_dec.T            # [N_LANES, T]
+    emits_l = emits_dec.T
+    idx_in_lane = jnp.cumsum(emits_l.astype(jnp.int32), axis=1) - 1
+    lane_words = jnp.sum(emits_l.astype(jnp.int32), axis=1)
+    lane_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(lane_words)[:-1].astype(jnp.int32)])
+    total_words = jnp.sum(lane_words)
+    flat_idx = jnp.where(emits_l, lane_off[:, None] + idx_in_lane, T * N_LANES)
+    stream = jnp.zeros((T * N_LANES + 1,), jnp.uint32).at[
+        flat_idx.reshape(-1)].set(words_l.reshape(-1))[:T * N_LANES]
+
+    # ---- serialize -----------------------------------------------------------------
+    def u16_bytes(v):  # int32[k] -> uint8[2k] LE
+        v = v.astype(jnp.uint32)
+        return jnp.stack([v & 0xFF, (v >> 8) & 0xFF], axis=1).reshape(-1).astype(jnp.uint8)
+
+    def u32_bytes(v):
+        v = v.astype(jnp.uint32)
+        return jnp.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+                          (v >> 24) & 0xFF], axis=1).reshape(-1).astype(jnp.uint8)
+
+    hdr = jnp.concatenate([
+        jnp.array([MAGIC, VERSION, 0, 0], jnp.uint8),
+        u32_bytes(size[None]),
+        u32_bytes(total_words[None]),
+        u16_bytes(freq),
+        u32_bytes(x_fin.astype(jnp.int64).astype(jnp.uint32)),
+        u16_bytes(wcount),       # == lane_words
+        u16_bytes(stream.astype(jnp.int32)),
+    ])
+    out_size = HEADER_BYTES + 2 * total_words
+    out = jnp.zeros((out_cap,), jnp.uint8)
+    ncopy = min(out_cap, hdr.shape[0])
+    valid = jnp.arange(ncopy) < out_size
+    out = out.at[:ncopy].set(jnp.where(valid, hdr[:ncopy], 0))
+    too_big = out_size > out_cap
+    status = jnp.where(too_big, Status.ERROR_OUTPUT_BUFFER_TOO_SMALL, Status.SUCCESS)
+    return out, jnp.where(too_big, 0, out_size).astype(jnp.int32), status.astype(jnp.int32)
+
+
+# =====================================================================================
+# decode
+# =====================================================================================
+
+def decode_chunk(comp: jax.Array, comp_size: jax.Array,
+                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode one chunk -> (out uint8[out_cap], out_size, status)."""
+    nbytes = comp.shape[0]
+    T = -(-out_cap // N_LANES)
+    gb = lambda o: comp[jnp.clip(o, 0, nbytes - 1)].astype(jnp.int32)
+
+    def u16_at(o):
+        return gb(o) | (gb(o + 1) << 8)
+
+    def u32_at(o):
+        return (gb(o) | (gb(o + 1) << 8) | (gb(o + 2) << 16) | (gb(o + 3) << 24))
+
+    magic, ver = gb(0), gb(1)
+    size = u32_at(4)
+    total_words = u32_at(8)
+
+    k256 = jnp.arange(256, dtype=jnp.int32)
+    freq = u16_at(12 + 2 * k256)
+    kl = jnp.arange(N_LANES, dtype=jnp.int32)
+    state0 = u32_at(12 + 512 + 4 * kl).astype(jnp.int64).astype(jnp.uint32)
+    lane_words = u16_at(12 + 512 + 512 + 2 * kl)
+    stream_off = 12 + 512 + 512 + 256
+
+    ok = jnp.logical_and(magic == MAGIC, ver == VERSION)
+    ok = jnp.logical_and(ok, size <= out_cap)
+    ok = jnp.logical_and(ok, jnp.sum(freq) == PROB_SCALE)
+    ok = jnp.logical_and(ok, comp_size >= stream_off + 2 * total_words)
+    ok = jnp.logical_and(ok, jnp.sum(lane_words) == total_words)
+    size_c = jnp.clip(size, 0, out_cap)
+
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(freq)[:-1].astype(jnp.int32)])
+    # slot -> symbol lookup (4096 entries)
+    slot = jnp.arange(PROB_SCALE, dtype=jnp.int32)
+    sym_of_slot = (jnp.searchsorted(jnp.cumsum(freq), slot, side="right")
+                   .astype(jnp.int32))
+    sym_of_slot = jnp.clip(sym_of_slot, 0, 255)
+
+    lane_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                jnp.cumsum(lane_words)[:-1].astype(jnp.int32)])
+
+    freq_u = freq.astype(jnp.uint32)
+    cum_u = cum.astype(jnp.uint32)
+
+    def read_word(ptr):
+        o = stream_off + 2 * ptr
+        return (gb(o) | (gb(o + 1) << 8)).astype(jnp.uint32)
+
+    def step(carry, t):
+        x, ptr = carry
+        posn = t * N_LANES + kl
+        act = posn < size_c
+        s_idx = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)
+        s = sym_of_slot[s_idx]
+        f = freq_u[s]
+        c = cum_u[s]
+        x_new = f * (x >> jnp.uint32(PROB_BITS)) + x % jnp.uint32(PROB_SCALE) - c
+        need = jnp.logical_and(act, x_new < RANS_L)
+        w = read_word(jnp.clip(ptr, 0, jnp.maximum(total_words - 1, 0)))
+        x_new = jnp.where(need, (x_new << 16) | w, x_new)
+        ptr_new = ptr + need.astype(jnp.int32)
+        x = jnp.where(act, x_new, x)
+        out_byte = jnp.where(act, s, 0).astype(jnp.uint8)
+        return (x, ptr_new), out_byte
+
+    init = (state0, lane_off)
+    (x_fin, ptr_fin), bytes_tl = jax.lax.scan(step, init, jnp.arange(T, dtype=jnp.int32))
+    # bytes_tl is [T, N_LANES]; position p = t*N_LANES + lane
+    out_flat = bytes_tl.reshape(-1)[:out_cap]
+
+    # sanity: every lane must end back at the initial state and have consumed
+    # exactly its own words
+    ok = jnp.logical_and(ok, jnp.all(jnp.where(lane_words >= 0, True, False)))
+    ok = jnp.logical_and(ok, jnp.all(x_fin == RANS_L) | (size_c == 0))
+    ok = jnp.logical_and(ok, jnp.all(ptr_fin == lane_off + lane_words) | (size_c == 0))
+
+    out_size = jnp.where(ok, size_c, 0).astype(jnp.int32)
+    out = jnp.where(jnp.arange(out_cap) < out_size, out_flat, 0).astype(jnp.uint8)
+    status = jnp.where(ok, Status.SUCCESS, Status.ERROR_CANNOT_DECOMPRESS)
+    return out, out_size, status.astype(jnp.int32)
+
+
+def get_decompress_size(comp: jax.Array, comp_size: jax.Array) -> jax.Array:
+    gb = lambda o: comp[jnp.clip(o, 0, comp.shape[0] - 1)].astype(jnp.int32)
+    size = gb(4) | (gb(5) << 8) | (gb(6) << 16) | (gb(7) << 24)
+    ok = jnp.logical_and(comp_size >= 12, gb(0) == MAGIC)
+    return jnp.where(ok, size, 0).astype(jnp.int32)
+
+
+# -- batched (vmapped) entry points ---------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("opts", "out_cap"))
+def compress_batch(data: jax.Array, sizes: jax.Array, opts: ANSOpts, out_cap: int):
+    return jax.vmap(lambda d, s: encode_chunk(d, s, opts, out_cap))(data, sizes)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def decompress_batch(comp: jax.Array, comp_sizes: jax.Array, out_cap: int):
+    return jax.vmap(lambda c, s: decode_chunk(c, s, out_cap))(comp, comp_sizes)
+
+
+def register(batched) -> None:
+    batched.register(batched.CodecSpec(
+        name="ans",
+        compress_batch=compress_batch,
+        decompress_batch=decompress_batch,
+        max_compressed_chunk_size=max_compressed_chunk_size,
+        default_opts=DEFAULT_OPTS,
+        get_decompress_size=get_decompress_size,
+    ))

@@ -139,6 +139,58 @@ def segment_owner(starts_scatter: jax.Array) -> jax.Array:
     return jax.lax.associative_scan(jnp.maximum, starts_scatter, axis=0)
 
 
+def emit_lz_output(comp: jax.Array, reach: jax.Array, rank: jax.Array,
+                   lit_start: jax.Array, ll: jax.Array, offset: jax.Array,
+                   ml: jax.Array, total_out: jax.Array, out_cap: int,
+                   max_rounds: int) -> jax.Array:
+    """Materialize decoded output from a parsed LZ token chain.
+
+    Shared by every LZ-family decoder (LZ4, Snappy, ...).  Each reached token at
+    input position p produces output ``[rank, rank+ll)`` copied from the literal
+    bytes ``comp[lit_start : lit_start+ll]``, followed by ``[rank+ll, rank+ll+ml)``
+    back-referenced from ``offset`` bytes earlier in the output (``ml`` may be 0
+    for literal-only tokens, ``ll`` may be 0 for copy-only tokens).
+
+    Literals scatter directly; back-references (including self-overlapping ones)
+    resolve via :func:`resolve_copy_chain`.
+    """
+    cap = comp.shape[0]
+    pos32 = jnp.arange(cap, dtype=jnp.int32)
+
+    # literals: each input byte finds its owning token (latest reached start <= c)
+    own = segment_owner(jnp.where(reach, pos32, -1))
+    own_c = jnp.clip(own, 0, cap - 1)
+    in_lit = jnp.logical_and(own >= 0,
+                             jnp.logical_and(pos32 >= lit_start[own_c],
+                                             pos32 < lit_start[own_c] + ll[own_c]))
+    in_lit = jnp.logical_and(in_lit, reach[own_c])
+    lit_out_pos = rank[own_c] + (pos32 - lit_start[own_c])
+    tgt = jnp.where(jnp.logical_and(in_lit, lit_out_pos < out_cap),
+                    lit_out_pos, out_cap)
+    val = jnp.zeros((out_cap + 1,), jnp.int32).at[tgt].set(comp.astype(jnp.int32))[:out_cap]
+    known = jnp.zeros((out_cap + 1,), jnp.bool_).at[tgt].set(True)[:out_cap]
+
+    # matches: per-output-position copy pointers from the owning match segment
+    opos = jnp.arange(out_cap, dtype=jnp.int32)
+    is_match_tok = jnp.logical_and(reach, ml > 0)
+    m_out_start = rank + ll
+    m_tgt = jnp.where(jnp.logical_and(is_match_tok, m_out_start < out_cap),
+                      m_out_start, out_cap)
+    l_tgt = jnp.where(jnp.logical_and(reach, rank < out_cap), rank, out_cap)
+    match_mark = jnp.full((out_cap + 1,), -1, jnp.int32).at[m_tgt].max(m_out_start)[:out_cap]
+    lit_mark = jnp.full((out_cap + 1,), -1, jnp.int32).at[l_tgt].max(rank)[:out_cap]
+    last_match = segment_owner(match_mark)
+    last_lit = segment_owner(lit_mark)
+    off_at = jnp.zeros((out_cap + 1,), jnp.int32).at[m_tgt].set(offset)[:out_cap]
+    in_match = jnp.logical_and(last_match >= 0, last_match >= last_lit)
+    src = opos - off_at[jnp.clip(last_match, 0, out_cap - 1)]
+    ptr = jnp.where(jnp.logical_and(in_match, jnp.logical_not(known)),
+                    jnp.clip(src, 0, out_cap - 1), opos)
+    known = jnp.logical_or(known, opos >= total_out)
+
+    return resolve_copy_chain(ptr, val, known, max_rounds=max_rounds)
+
+
 def resolve_copy_chain(ptr: jax.Array, val: jax.Array, known: jax.Array,
                        max_rounds: int) -> jax.Array:
     """Resolve LZ77 back-reference chains by log-doubling.
