@@ -1,0 +1,131 @@
+"""HLIF Manager tests: frame round-trip, factory, checksum modes.
+
+Mirrors ``examples/high_level_quickstart_example.cpp`` scenarios: compress with a
+typed manager, decompress via ``create_manager`` with zero out-of-band metadata,
+all 5 checksum policies, corruption -> ERROR_BAD_CHECKSUM.
+"""
+import numpy as np
+import pytest
+
+from tpucomp.constants import Status
+from tpucomp.manager import (ChecksumPolicy, CompressionConfig, Manager,
+                             create_manager)
+from tpucomp.utils import synth
+
+
+DATA = synth.mixed_corpus(200_000, seed=21).tobytes()
+
+
+@pytest.mark.parametrize("fmt", ["lz4", "snappy", "cascaded", "ans"])
+def test_roundtrip_via_factory(fmt):
+    data = DATA
+    if fmt == "cascaded":
+        data = synth.low_cardinality_ints(200_000).tobytes()
+    mgr = Manager(fmt, chunk_size=16384)
+    cfg = mgr.configure_compression(len(data))
+    assert cfg.max_compressed_buffer_size > 0
+    frame = mgr.compress(data, cfg)
+    assert frame.shape[0] <= cfg.max_compressed_buffer_size
+
+    # decompress through the factory — no manager/opts passed out-of-band
+    mgr2 = create_manager(frame)
+    assert mgr2.format == fmt
+    dcfg = mgr2.configure_decompression(frame)
+    assert dcfg.decomp_data_size == len(data)
+    out = mgr2.decompress(frame, dcfg)
+    assert dcfg.get_status() == Status.SUCCESS
+    assert bytes(np.asarray(out)) == data
+
+
+def test_get_compressed_output_size():
+    mgr = Manager("lz4", chunk_size=8192)
+    frame = mgr.compress(DATA[:50_000])
+    assert mgr.get_compressed_output_size(frame) == frame.shape[0]
+
+
+def test_compression_config_host_resident():
+    # decompression must be configurable from the CompressionConfig without
+    # touching the compressed buffer (doc/highlevel_cpp_quickstart.md:123-133)
+    mgr = Manager("lz4", chunk_size=8192)
+    cfg = mgr.configure_compression(50_000)
+    assert isinstance(cfg, CompressionConfig)
+    assert cfg.num_chunks == -(-50_000 // 8192)
+
+
+class TestChecksums:
+    def frame_with(self, policy, data=DATA[:60_000]):
+        mgr = Manager("lz4", chunk_size=8192, checksum_policy=policy)
+        return mgr, mgr.compress(data), data
+
+    def test_compute_and_verify_roundtrip(self):
+        mgr, frame, data = self.frame_with(ChecksumPolicy.COMPUTE_AND_VERIFY)
+        dcfg = mgr.configure_decompression(frame)
+        out = mgr.decompress(frame, dcfg)
+        assert dcfg.get_status() == Status.SUCCESS
+        assert bytes(np.asarray(out)) == data
+
+    def test_corruption_detected(self):
+        mgr, frame, data = self.frame_with(ChecksumPolicy.COMPUTE_AND_VERIFY)
+        bad = np.asarray(frame).copy()
+        bad[len(bad) // 2] ^= 0xFF  # flip a payload byte
+        dcfg = mgr.configure_decompression(bad)
+        mgr.decompress(bad, dcfg)
+        assert dcfg.get_status() in (Status.ERROR_BAD_CHECKSUM,
+                                     Status.ERROR_CANNOT_DECOMPRESS)
+
+    def test_verify_missing_checksums(self):
+        # frame without checksums + COMPUTE_AND_VERIFY decompressor
+        mgr_nc = Manager("lz4", chunk_size=8192)
+        frame = mgr_nc.compress(DATA[:30_000])
+        mgr_v = Manager("lz4", chunk_size=8192,
+                        checksum_policy=ChecksumPolicy.COMPUTE_AND_VERIFY)
+        dcfg = mgr_v.configure_decompression(frame)
+        mgr_v.decompress(frame, dcfg)
+        assert dcfg.get_status() == Status.ERROR_CANNOT_VERIFY_CHECKSUMS
+
+    def test_verify_if_present_without_checksums_ok(self):
+        mgr_nc = Manager("lz4", chunk_size=8192)
+        data = DATA[:30_000]
+        frame = mgr_nc.compress(data)
+        mgr_v = Manager(
+            "lz4", chunk_size=8192,
+            checksum_policy=ChecksumPolicy.NO_COMPUTE_AND_VERIFY_IF_PRESENT)
+        dcfg = mgr_v.configure_decompression(frame)
+        out = mgr_v.decompress(frame, dcfg)
+        assert dcfg.get_status() == Status.SUCCESS
+        assert bytes(np.asarray(out)) == data
+
+    def test_factory_auto_verifies_when_present(self):
+        mgr, frame, data = self.frame_with(ChecksumPolicy.COMPUTE_AND_NO_VERIFY)
+        mgr2 = create_manager(frame)
+        assert mgr2.checksum_policy == ChecksumPolicy.NO_COMPUTE_AND_VERIFY_IF_PRESENT
+        dcfg = mgr2.configure_decompression(frame)
+        out = mgr2.decompress(frame, dcfg)
+        assert dcfg.get_status() == Status.SUCCESS
+        assert bytes(np.asarray(out)) == data
+
+
+def test_not_a_frame():
+    with pytest.raises(ValueError):
+        create_manager(b"garbage bytes that are not a frame header......")
+
+
+def test_empty_input():
+    mgr = Manager("lz4")
+    frame = mgr.compress(b"")
+    mgr2 = create_manager(frame)
+    out = mgr2.decompress(frame)
+    assert bytes(np.asarray(out)) == b""
+
+
+def test_opts_survive_factory():
+    from tpucomp.formats.cascaded import CascadedOpts
+    from tpucomp.constants import ElementType
+    opts = CascadedOpts(ElementType.LONGLONG, 1, 1, True)
+    data = synth.sorted_ints(64_000, dtype=np.int64).tobytes()
+    mgr = Manager("cascaded", chunk_size=16384, opts=opts)
+    frame = mgr.compress(data)
+    mgr2 = create_manager(frame)
+    assert mgr2.opts == opts
+    out = mgr2.decompress(frame)
+    assert bytes(np.asarray(out)) == data

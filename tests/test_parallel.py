@@ -1,0 +1,53 @@
+"""Multi-device tests on the hermetic 8-device CPU mesh.
+
+The reference can only exercise its multi-GPU compressed all-gather on real
+hardware (``benchmark_allgather.cpp``; SURVEY.md §4.7) — we validate the same
+pipeline on a virtual mesh.
+"""
+import numpy as np
+import jax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpucomp import parallel
+from tpucomp.chunk import ChunkBatch
+from tpucomp.utils import synth
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return parallel.make_chunk_mesh(8)
+
+
+def test_compressed_all_gather_bit_exact(mesh):
+    chunk = 2048
+    data = synth.mixed_corpus(16 * chunk, seed=9).tobytes()
+    cb = ChunkBatch.from_bytes(data, chunk_size=chunk)
+    dec, csz, status = parallel.compressed_all_gather("lz4", cb, mesh)
+    assert int(status) == 0
+    assert dec.to_bytes() == data
+    # the collective moved compressed bytes, not raw
+    assert int(np.asarray(csz).sum()) < len(data)
+
+
+def test_sharded_roundtrip_chunk_dp(mesh):
+    chunk = 2048
+    data = synth.mixed_corpus(24 * chunk, seed=10).tobytes()
+    cb = ChunkBatch.from_bytes(data, chunk_size=chunk)
+    fn = parallel.sharded_roundtrip_fn("lz4", mesh, "chunks", chunk)
+    d = jax.device_put(cb.data, NamedSharding(mesh, P("chunks", None)))
+    s = jax.device_put(cb.sizes, NamedSharding(mesh, P("chunks")))
+    dec, dsz, csz, status = fn(d, s)
+    assert int(status) == 0
+    assert ChunkBatch(data=dec, sizes=dsz).to_bytes() == data
+
+
+def test_all_gather_cascaded(mesh):
+    chunk = 4096
+    data = synth.low_cardinality_ints(8 * chunk).tobytes()
+    cb = ChunkBatch.from_bytes(data, chunk_size=chunk)
+    dec, csz, status = parallel.compressed_all_gather("cascaded", cb, mesh)
+    assert int(status) == 0
+    assert dec.to_bytes() == data

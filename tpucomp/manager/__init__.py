@@ -1,0 +1,362 @@
+"""tpucomp.manager — the high-level interface (HLIF analog).
+
+TPU-native equivalent of nvCOMP's ``nvcompManagerBase`` + per-format managers +
+``create_manager`` factory (``doc/highlevel_cpp_quickstart.md``;
+``examples/high_level_quickstart_example.cpp``).  A manager owns internal
+chunking of one contiguous buffer, dispatches to the batched (LLIF-analog) layer
+— exactly as "HLIF now dispatches to LLIF" since 3.0 (``CHANGELOG.md:17``) —
+and wraps the result in a **self-describing frame** so a buffer can be
+decompressed with zero out-of-band metadata (``create_manager`` sniffs the
+header, ``examples/high_level_quickstart_example.cpp:83-94``).
+
+Frame layout (little-endian, 4-byte aligned sections):
+
+    0   u8[8]   magic  b"TPUCOMP0"
+    8   u16     version (=1)        u16 format_id
+    12  u32     chunk_size
+    16  u64     uncompressed_size
+    24  u32     num_chunks          u32 checksum_mode
+    32  u64     total_compressed_size (whole frame, bytes)
+    40  u8[16]  format options blob (reconstructs opts in create_manager)
+    56  u32[num_chunks]             compressed chunk sizes
+    if checksums stored:
+        u32[num_chunks] uncompressed-chunk CRC32s
+        u32[num_chunks] compressed-chunk CRC32s
+    then per-chunk payloads, each padded to 4-byte alignment.
+
+Checksum policy is the reference's 5-mode enum
+(``examples/high_level_quickstart_example.cpp:252-316``); failures surface as
+``Status.ERROR_BAD_CHECKSUM`` through ``DecompressionConfig.get_status()``.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucomp import batched as _batched
+from tpucomp import logging as tlog
+from tpucomp.chunk import ChunkBatch, ceil_div, round_up
+from tpucomp.constants import DEFAULT_CHUNK_SIZE, ElementType, Status
+
+MAGIC = b"TPUCOMP0"
+VERSION = 1
+HEADER_BYTES = 56
+
+FORMAT_IDS = {"lz4": 1, "snappy": 2, "cascaded": 3, "ans": 4, "deflate": 5,
+              "gdeflate": 6, "gzip": 7, "zstd": 8, "bitcomp": 9}
+FORMAT_NAMES = {v: k for k, v in FORMAT_IDS.items()}
+
+
+class ChecksumPolicy(enum.IntEnum):
+    """Mirror of nvCOMP's 5 checksum modes."""
+
+    NO_COMPUTE_NO_VERIFY = 0
+    COMPUTE_AND_NO_VERIFY = 1
+    NO_COMPUTE_AND_VERIFY_IF_PRESENT = 2
+    COMPUTE_AND_VERIFY_IF_PRESENT = 3
+    COMPUTE_AND_VERIFY = 4
+
+    @property
+    def computes(self) -> bool:
+        return self in (ChecksumPolicy.COMPUTE_AND_NO_VERIFY,
+                        ChecksumPolicy.COMPUTE_AND_VERIFY_IF_PRESENT,
+                        ChecksumPolicy.COMPUTE_AND_VERIFY)
+
+    @property
+    def verifies(self) -> bool:
+        return self in (ChecksumPolicy.NO_COMPUTE_AND_VERIFY_IF_PRESENT,
+                        ChecksumPolicy.COMPUTE_AND_VERIFY_IF_PRESENT,
+                        ChecksumPolicy.COMPUTE_AND_VERIFY)
+
+    @property
+    def requires_checksums(self) -> bool:
+        return self == ChecksumPolicy.COMPUTE_AND_VERIFY
+
+
+# -- per-format opts <-> 16-byte blob -------------------------------------------------
+
+def _opts_to_blob(fmt: str, opts: Any) -> bytes:
+    blob = bytearray(16)
+    if fmt == "lz4":
+        blob[0] = int(opts.data_type)
+    elif fmt == "cascaded":
+        blob[0] = int(opts.type)
+        blob[1] = opts.num_rles
+        blob[2] = opts.num_deltas
+        blob[3] = int(opts.use_bp)
+    return bytes(blob)
+
+
+def _opts_from_blob(fmt: str, blob: bytes) -> Any:
+    if fmt == "lz4":
+        from tpucomp.formats.lz4 import LZ4Opts
+        return LZ4Opts(data_type=ElementType(blob[0]))
+    if fmt == "cascaded":
+        from tpucomp.formats.cascaded import CascadedOpts
+        return CascadedOpts(type=ElementType(blob[0]), num_rles=blob[1],
+                            num_deltas=blob[2], use_bp=bool(blob[3]))
+    return _batched._get(fmt).default_opts
+
+
+# -- configs --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class CompressionConfig:
+    """Host-resident (so decompression can be configured without a sync,
+    ``doc/highlevel_cpp_quickstart.md:123-133``)."""
+
+    uncompressed_size: int
+    num_chunks: int
+    chunk_size: int
+    max_compressed_buffer_size: int
+
+
+@dataclasses.dataclass
+class DecompressionConfig:
+    decomp_data_size: int
+    num_chunks: int
+    chunk_size: int
+    checksum_mode: int
+    _status: Any = Status.SUCCESS
+
+    def get_status(self) -> Status:
+        """Valid after the decompress completes (reference reads a pinned word
+        after stream sync, ``examples/high_level_quickstart_example.cpp:313-316``)."""
+        s = self._status
+        return Status(int(s if np.isscalar(s) or isinstance(s, int) else np.asarray(s)))
+
+
+class Manager:
+    """Per-format manager (``LZ4Manager`` etc. analog).
+
+    ``Manager("lz4", chunk_size, opts, checksum_policy)`` ~
+    ``LZ4Manager{chunk_size, opts, stream, checksum_policy}``
+    (``benchmarks/benchmark_hlif.cpp:188-212``).
+    """
+
+    def __init__(self, fmt: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
+                 opts: Any = None,
+                 checksum_policy: ChecksumPolicy = ChecksumPolicy.NO_COMPUTE_NO_VERIFY):
+        self.format = fmt
+        if fmt not in FORMAT_IDS:
+            raise ValueError(f"unknown format {fmt!r}")
+        self.spec = _batched._get(fmt)
+        self.chunk_size = int(chunk_size)
+        self.opts = opts if opts is not None else self.spec.default_opts
+        self.checksum_policy = ChecksumPolicy(checksum_policy)
+        self._chunk_cap = self.spec.max_compressed_chunk_size(self.chunk_size,
+                                                              self.opts)
+
+    # -- compression ------------------------------------------------------------------
+
+    def configure_compression(self, uncompressed_size: int) -> CompressionConfig:
+        n = max(1, ceil_div(uncompressed_size, self.chunk_size))
+        tables = 4 * n + (8 * n if self.checksum_policy.computes else 0)
+        max_size = (HEADER_BYTES + round_up(tables, 4)
+                    + n * round_up(self._chunk_cap, 4))
+        return CompressionConfig(uncompressed_size=uncompressed_size,
+                                 num_chunks=n, chunk_size=self.chunk_size,
+                                 max_compressed_buffer_size=max_size)
+
+    def compress(self, data, config: CompressionConfig | None = None) -> jax.Array:
+        """Compress one contiguous buffer -> device uint8 frame (exact size).
+
+        Accepts bytes / np / jax uint8 arrays.  The returned array is the frame
+        trimmed to its actual size (requires a device sync, as the reference's
+        ``get_compressed_output_size`` does — ``examples/nvcomp_gds.cu:183``).
+        """
+        buf = np.frombuffer(data, np.uint8) if isinstance(data, (bytes, bytearray)) \
+            else np.asarray(data, np.uint8).reshape(-1)
+        cfg = config or self.configure_compression(buf.size)
+        tlog.api_call(f"manager.{self.format}.compress", size=buf.size,
+                      num_chunks=cfg.num_chunks)
+        cb = ChunkBatch.from_bytes(buf.tobytes(), self.chunk_size)
+        frame, total = _compress_to_frame(
+            self.spec, self.format, self.opts, cb,
+            self.chunk_size, self._chunk_cap, self.checksum_policy,
+            cfg.max_compressed_buffer_size)
+        return frame[: int(total)]
+
+    # -- decompression ----------------------------------------------------------------
+
+    def configure_decompression(self, comp) -> DecompressionConfig:
+        hdr = _parse_header(comp)
+        return DecompressionConfig(decomp_data_size=hdr["uncompressed_size"],
+                                   num_chunks=hdr["num_chunks"],
+                                   chunk_size=hdr["chunk_size"],
+                                   checksum_mode=hdr["checksum_mode"])
+
+    def decompress(self, comp, config: DecompressionConfig | None = None) -> jax.Array:
+        cfg = config or self.configure_decompression(comp)
+        tlog.api_call(f"manager.{self.format}.decompress",
+                      size=cfg.decomp_data_size, num_chunks=cfg.num_chunks)
+        comp = _as_device_u8(comp)
+        out, status = _decompress_frame(
+            self.spec, comp, cfg.num_chunks, cfg.chunk_size,
+            bool(cfg.checksum_mode), self.checksum_policy, cfg.decomp_data_size)
+        cfg._status = status
+        return out
+
+    def get_compressed_output_size(self, comp) -> int:
+        return _parse_header(comp)["total_compressed_size"]
+
+
+def create_manager(comp, checksum_policy: ChecksumPolicy | None = None) -> Manager:
+    """Rebuild the right manager by inspecting a compressed frame
+    (``create_manager``, ``doc/highlevel_cpp_quickstart.md:33-47``; synchronizes
+    to read the device-resident header, ``:113-115``)."""
+    hdr = _parse_header(comp)
+    fmt = FORMAT_NAMES.get(hdr["format_id"])
+    if fmt is None:
+        raise ValueError(f"unknown format id {hdr['format_id']}")
+    opts = _opts_from_blob(fmt, hdr["opts_blob"])
+    policy = checksum_policy
+    if policy is None:
+        policy = (ChecksumPolicy.NO_COMPUTE_AND_VERIFY_IF_PRESENT
+                  if hdr["checksum_mode"] else ChecksumPolicy.NO_COMPUTE_NO_VERIFY)
+    return Manager(fmt, chunk_size=hdr["chunk_size"], opts=opts,
+                   checksum_policy=policy)
+
+
+# =====================================================================================
+# internals
+# =====================================================================================
+
+def _as_device_u8(buf) -> jax.Array:
+    if isinstance(buf, (bytes, bytearray)):
+        return jnp.asarray(np.frombuffer(buf, np.uint8))
+    return jnp.asarray(buf, jnp.uint8).reshape(-1)
+
+
+def _parse_header(comp) -> dict:
+    head = np.asarray(comp[:HEADER_BYTES] if not isinstance(comp, (bytes, bytearray))
+                      else np.frombuffer(comp[:HEADER_BYTES], np.uint8))
+    head = head.astype(np.uint8).tobytes()
+    if len(head) < HEADER_BYTES or head[:8] != MAGIC:
+        raise ValueError("not a tpucomp frame (bad magic)")
+    import struct
+    version, format_id = struct.unpack_from("<HH", head, 8)
+    if version != VERSION:
+        raise ValueError(f"unsupported frame version {version}")
+    chunk_size, = struct.unpack_from("<I", head, 12)
+    uncomp_size, = struct.unpack_from("<Q", head, 16)
+    num_chunks, checksum_mode = struct.unpack_from("<II", head, 24)
+    total, = struct.unpack_from("<Q", head, 32)
+    return {"version": version, "format_id": format_id, "chunk_size": chunk_size,
+            "uncompressed_size": uncomp_size, "num_chunks": num_chunks,
+            "checksum_mode": checksum_mode, "total_compressed_size": total,
+            "opts_blob": head[40:56]}
+
+
+def _compress_to_frame(spec, fmt: str, opts, cb: ChunkBatch, chunk_size: int,
+                       chunk_cap: int, policy: ChecksumPolicy, out_cap: int):
+    from tpucomp.formats import crc32 as c32
+
+    n = cb.num_chunks
+    comp, csz, cst = spec.compress_batch(cb.data, cb.sizes, opts, chunk_cap)
+
+    store_crc = policy.computes
+    if store_crc:
+        crc_u = c32.crc32_batch(cb.data, cb.sizes)
+        crc_c = c32.crc32_batch(comp, csz)
+    else:
+        crc_u = crc_c = jnp.zeros((n,), jnp.uint32)
+
+    # layout
+    table_bytes = 4 * n + (8 * n if store_crc else 0)
+    payload_off0 = HEADER_BYTES + round_up(table_bytes, 4)
+    asz = ((csz + 3) // 4) * 4
+    offs = payload_off0 + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(asz)[:-1].astype(jnp.int32)])
+    total = payload_off0 + jnp.sum(asz)
+
+    # header (host-composed; sizes/crcs/payload are device-composed)
+    import struct
+    hdr = bytearray(HEADER_BYTES)
+    hdr[0:8] = MAGIC
+    struct.pack_into("<HH", hdr, 8, VERSION, FORMAT_IDS[fmt])
+    struct.pack_into("<I", hdr, 12, chunk_size)
+    struct.pack_into("<Q", hdr, 16, int(np.asarray(cb.total_bytes)))
+    struct.pack_into("<II", hdr, 24, n, 1 if store_crc else 0)
+    hdr[40:56] = _opts_to_blob(fmt, opts)
+    # total_compressed_size patched on device below (host doesn't know it yet)
+
+    pos = jnp.arange(out_cap, dtype=jnp.int64)
+    out = jnp.zeros((out_cap,), jnp.uint8)
+    out = out.at[:HEADER_BYTES].set(jnp.asarray(np.frombuffer(bytes(hdr), np.uint8)))
+    # patch u64 total at offset 32
+    tot_bytes = ((total.astype(jnp.uint64)[None] >> (8 * jnp.arange(8, dtype=jnp.uint64)))
+                 & 0xFF).astype(jnp.uint8)
+    out = out.at[32:40].set(tot_bytes)
+
+    def u32s_to_bytes(v):
+        v = v.astype(jnp.uint32)
+        return jnp.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+                          (v >> 24) & 0xFF], axis=1).reshape(-1).astype(jnp.uint8)
+
+    out = out.at[HEADER_BYTES:HEADER_BYTES + 4 * n].set(u32s_to_bytes(csz))
+    if store_crc:
+        out = out.at[HEADER_BYTES + 4 * n:HEADER_BYTES + 8 * n].set(u32s_to_bytes(crc_u))
+        out = out.at[HEADER_BYTES + 8 * n:HEADER_BYTES + 12 * n].set(u32s_to_bytes(crc_c))
+
+    # payload compaction: each output byte finds its chunk by searchsorted
+    seg_end = offs + asz
+    k = jnp.searchsorted(seg_end, pos, side="right").astype(jnp.int32)
+    kc = jnp.clip(k, 0, n - 1)
+    local = pos - offs[kc]
+    in_payload = jnp.logical_and(pos >= payload_off0, pos < total)
+    valid = jnp.logical_and(in_payload, local < csz[kc])
+    byte = comp[kc, jnp.clip(local, 0, chunk_cap - 1).astype(jnp.int32)]
+    out = jnp.where(valid, byte, out)
+    return out, total
+
+
+def _decompress_frame(spec, comp: jax.Array, n: int, chunk_size: int,
+                      has_crc: bool, policy: ChecksumPolicy, uncomp_size: int):
+    from tpucomp.formats import crc32 as c32
+
+    cap = comp.shape[0]
+    gb = lambda o: comp[jnp.clip(o, 0, cap - 1)].astype(jnp.int64)
+
+    ks = jnp.arange(n, dtype=jnp.int64)
+    def u32_arr(base):
+        o = base + 4 * ks
+        return (gb(o) | (gb(o + 1) << 8) | (gb(o + 2) << 16) | (gb(o + 3) << 24))
+
+    csz = u32_arr(HEADER_BYTES).astype(jnp.int32)
+    table_bytes = 4 * n + (8 * n if has_crc else 0)
+    payload_off0 = HEADER_BYTES + round_up(table_bytes, 4)
+    asz = ((csz + 3) // 4) * 4
+    offs = payload_off0 + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(asz)[:-1].astype(jnp.int32)])
+
+    chunk_cap = int(np.asarray(jnp.max(csz))) if n else 0  # host sync for slicing cap
+    chunk_cap = max(4, round_up(chunk_cap, 4))
+    idx = offs[:, None] + jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
+    comp_chunks = comp[jnp.clip(idx, 0, cap - 1)]
+    col = jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
+    comp_chunks = jnp.where(col < csz[:, None], comp_chunks, 0)
+
+    dec, dsz, dst = spec.decompress_batch(comp_chunks, csz, chunk_size)
+    status = jnp.max(dst)
+
+    verify = policy.verifies and has_crc
+    if policy.requires_checksums and not has_crc:
+        status = jnp.maximum(status, jnp.int32(Status.ERROR_CANNOT_VERIFY_CHECKSUMS))
+    if verify:
+        crc_u_stored = u32_arr(HEADER_BYTES + 4 * n).astype(jnp.uint32)
+        crc_c_stored = u32_arr(HEADER_BYTES + 8 * n).astype(jnp.uint32)
+        crc_c_actual = c32.crc32_batch(comp_chunks, csz)
+        crc_u_actual = c32.crc32_batch(dec, dsz)
+        bad = jnp.logical_or(jnp.any(crc_c_actual != crc_c_stored),
+                             jnp.any(crc_u_actual != crc_u_stored))
+        status = jnp.where(bad, jnp.maximum(status, jnp.int32(Status.ERROR_BAD_CHECKSUM)),
+                           status)
+
+    out = dec.reshape(-1)[:uncomp_size]
+    return out, status

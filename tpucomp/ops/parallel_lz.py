@@ -78,10 +78,15 @@ def wyllie_path(nxt: jax.Array, weight: jax.Array, num_rounds: int,
     n = nxt.shape[0]
     dump = n  # overflow slot for masked scatters
     nxt = jnp.clip(nxt, 0, n).astype(jnp.int32)
-    acc = weight.astype(jnp.int32)
+    # NB: initial carries are derived from the inputs (0*nxt) so that their
+    # device-variance matches the loop outputs under shard_map (a plain
+    # jnp.zeros carry is replicated and fori_loop rejects the mismatch).
+    zero_n = 0 * nxt
+    acc = weight.astype(jnp.int32) + zero_n
 
-    reach = jnp.zeros((n + 1,), jnp.bool_).at[start].set(True)
-    rank = jnp.zeros((n + 1,), jnp.int32)
+    zero_n1 = jnp.concatenate([zero_n, zero_n[:1]])
+    reach = (zero_n1 > 0).at[start].set(True)
+    rank = zero_n1
 
     def body(_, state):
         nxt, acc, reach, rank = state
