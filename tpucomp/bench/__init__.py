@@ -1,0 +1,196 @@
+"""Benchmark harness — the ``benchmark_template_chunked.cuh`` analog.
+
+Reproduces the canonical per-format chunked benchmark protocol
+(``benchmarks/benchmark_template_chunked.cuh:368-584``): file -> chunks ->
+staged device batch -> compress -> decompress -> per-chunk status + size
+assertions -> full byte-exact verify -> warmup-then-timed iterations -> human or
+CSV output with the reference's exact 11-column schema (``:609-647``).
+
+CLI (per-format drivers in ``benchmarks/``): the reference's flag set
+(``:726-829``) maps to ``--filename/-f``, ``--warmup-count/-w``,
+``--iteration-count/-i``, ``--duplicate-data/-x``, ``--csv-output/-c``,
+``--page-size/-p``, ``--file-with-page-sizes/-s``, ``--tab-separator/-t``;
+``--gpu/-g`` becomes ``--device``.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+from typing import Any, Sequence
+
+import numpy as np
+
+from tpucomp.chunk import ChunkBatch, plan_chunks_page_prefixed
+from tpucomp.constants import Status
+
+
+@dataclasses.dataclass
+class BenchResult:
+    num_files: int
+    duplicate_count: int
+    total_bytes: int
+    num_pages: int
+    chunk_size: int
+    compressed_bytes: int
+    ratio: float
+    compress_gbs: float
+    decompress_gbs: float
+    compile_compress_s: float = 0.0
+    compile_decompress_s: float = 0.0
+
+    CSV_HEADER = ("Files,Duplicate data,Size in MB,Pages,Avg page size in KB,"
+                  "Max page size in KB,Ucompressed size in bytes,"
+                  "Compressed size in bytes,Compression ratio,"
+                  "Compression throughput (uncompressed) in GB/s,"
+                  "Decompression throughput (uncompressed) in GB/s")
+
+    def csv_row(self, sep: str = ",") -> str:
+        vals = [self.num_files, self.duplicate_count,
+                self.total_bytes * 1e-6, self.num_pages,
+                (1e-3 * self.total_bytes) / max(self.num_pages, 1),
+                1e-3 * self.chunk_size, self.total_bytes,
+                self.compressed_bytes, f"{self.ratio:.2f}",
+                f"{self.compress_gbs:.4f}", f"{self.decompress_gbs:.4f}"]
+        return sep.join(str(v) for v in vals)
+
+    def human(self) -> str:
+        return ("----------\n"
+                f"files: {self.num_files}\n"
+                f"uncompressed (B): {self.total_bytes}\n"
+                f"comp_size: {self.compressed_bytes}, compressed ratio: "
+                f"{self.ratio:.4f}\n"
+                f"compression throughput (GB/s): {self.compress_gbs:.4f}\n"
+                f"decompression throughput (GB/s): {self.decompress_gbs:.4f}")
+
+
+def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
+                  opts: Any = None, chunk_size: int = 65536,
+                  warmup: int = 1, iterations: int = 3,
+                  duplicate_count: int = 0, num_files: int = 1,
+                  verify: bool = True) -> BenchResult:
+    """Chunked round-trip benchmark of one format over pre-split chunks."""
+    import jax
+    from tpucomp import batched
+
+    if duplicate_count:
+        data_chunks = list(data_chunks) * (1 + duplicate_count)
+    spec = batched._get(fmt)
+    opts = opts if opts is not None else spec.default_opts
+    max_chunk = max((len(c) for c in data_chunks), default=1)
+    max_chunk = max(max_chunk, 1)
+    cb = ChunkBatch.from_chunks(data_chunks, max_chunk_bytes=max_chunk)
+    cap = spec.max_compressed_chunk_size(max_chunk, opts)
+    total_bytes = int(np.asarray(cb.total_bytes))
+
+    data, sizes = jax.device_put(cb.data), jax.device_put(cb.sizes)
+
+    t0 = time.time()
+    comp, csz, cst = spec.compress_batch(data, sizes, opts, cap)
+    jax.block_until_ready(comp)
+    t_cc = time.time() - t0
+    assert int(np.asarray(cst).max()) == Status.SUCCESS, \
+        f"compress statuses: {np.asarray(cst)}"
+
+    t0 = time.time()
+    dec, dsz, dst = spec.decompress_batch(comp, csz, max_chunk)
+    jax.block_until_ready(dec)
+    t_dc = time.time() - t0
+    assert int(np.asarray(dst).max()) == Status.SUCCESS, \
+        f"decompress statuses: {np.asarray(dst)}"
+
+    if verify:
+        # the reference checks per-chunk sizes then every byte (:553-584)
+        assert np.array_equal(np.asarray(dsz), np.asarray(sizes)), "size mismatch"
+        assert np.array_equal(np.asarray(dec), np.asarray(data)), \
+            "round trip not bit-exact"
+
+    for _ in range(max(warmup - 1, 0)):
+        jax.block_until_ready(spec.compress_batch(data, sizes, opts, cap))
+
+    def timed(fn, n):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            jax.block_until_ready(fn())
+            best = min(best, time.time() - t0)
+        return best
+
+    ct = timed(lambda: spec.compress_batch(data, sizes, opts, cap), iterations)
+    dt = timed(lambda: spec.decompress_batch(comp, csz, max_chunk), iterations)
+
+    compressed_bytes = int(np.asarray(csz).sum())
+    return BenchResult(
+        num_files=num_files, duplicate_count=duplicate_count,
+        total_bytes=total_bytes, num_pages=cb.num_chunks,
+        chunk_size=max_chunk, compressed_bytes=compressed_bytes,
+        ratio=total_bytes / max(compressed_bytes, 1),
+        compress_gbs=total_bytes / ct / 1e9,
+        decompress_gbs=total_bytes / dt / 1e9,
+        compile_compress_s=t_cc, compile_decompress_s=t_dc)
+
+
+def load_files(filenames: Sequence[str], chunk_size: int,
+               page_prefixed: bool) -> list[bytes]:
+    """File(s) -> chunk list (fixed-size split or page-size-prefixed mode)."""
+    chunks: list[bytes] = []
+    for fn in filenames:
+        with open(fn, "rb") as f:
+            buf = f.read()
+        if page_prefixed:
+            for off, size in plan_chunks_page_prefixed(buf):
+                chunks.append(buf[off:off + size])
+        else:
+            chunks.extend(buf[o:o + chunk_size]
+                          for o in range(0, len(buf), chunk_size))
+    return chunks
+
+
+def main_template(fmt: str, argv: Sequence[str] | None = None,
+                  parse_opts=None) -> BenchResult:
+    """Shared CLI driver (the per-format ``benchmark_*_chunked`` main)."""
+    ap = argparse.ArgumentParser(prog=f"benchmark_{fmt}_chunked")
+    ap.add_argument("-f", "--filename", action="append", required=False,
+                    help="input file (repeatable)")
+    ap.add_argument("-w", "--warmup-count", type=int, default=1)
+    ap.add_argument("-i", "--iteration-count", type=int, default=3)
+    ap.add_argument("-x", "--duplicate-data", type=int, default=0)
+    ap.add_argument("-c", "--csv-output", action="store_true")
+    ap.add_argument("-t", "--tab-separator", action="store_true")
+    ap.add_argument("-p", "--page-size", type=int, default=65536)
+    ap.add_argument("-s", "--file-with-page-sizes", action="store_true")
+    ap.add_argument("--device", type=int, default=0, help="-g analog")
+    ap.add_argument("--synthetic-mb", type=int, default=0,
+                    help="use the mixed synthetic corpus instead of files")
+    args, extra = ap.parse_known_args(argv)
+
+    if parse_opts is not None:
+        opts = parse_opts(extra)
+    else:
+        opts = None
+
+    if args.filename:
+        chunks = load_files(args.filename, args.page_size,
+                            args.file_with_page_sizes)
+        num_files = len(args.filename)
+    else:
+        from tpucomp.utils import synth
+        mb = args.synthetic_mb or 8
+        buf = synth.mixed_corpus(mb << 20, seed=42).tobytes()
+        chunks = [buf[o:o + args.page_size]
+                  for o in range(0, len(buf), args.page_size)]
+        num_files = 1
+
+    res = run_benchmark(fmt, chunks, opts=opts, chunk_size=args.page_size,
+                        warmup=args.warmup_count,
+                        iterations=args.iteration_count,
+                        duplicate_count=args.duplicate_data,
+                        num_files=num_files)
+    if args.csv_output:
+        sep = "\t" if args.tab_separator else ","
+        print(BenchResult.CSV_HEADER.replace(",", sep))
+        print(res.csv_row(sep))
+    else:
+        print(res.human())
+    return res
