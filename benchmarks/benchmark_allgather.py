@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Multi-device compressed all-gather benchmark.
+
+Analog of the reference's ``benchmarks/benchmark_allgather.cpp`` (shard file
+across devices, compress per device, broadcast COMPRESSED chunks, decompress
+remote chunks everywhere, verify, report per-device and system GB/s with
+throughput counted as ``(N-1)/N x data / time`` per device, ``:454-470``) and of
+``allgather_runall.py`` (sweep device counts x formats).
+
+On a single-chip environment run it over the virtual CPU mesh:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python benchmarks/benchmark_allgather.py --devices 2 4 8
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-f", "--filename")
+    ap.add_argument("--synthetic-mb", type=int, default=8)
+    ap.add_argument("-p", "--page-size", type=int, default=65536)
+    ap.add_argument("--formats", nargs="+", default=["none", "lz4", "cascaded"])
+    ap.add_argument("--devices", nargs="+", type=int, default=None)
+    ap.add_argument("-i", "--iterations", type=int, default=3)
+    ap.add_argument("-c", "--csv-output", action="store_true")
+    args = ap.parse_args()
+
+    from tpucomp.utils import honor_jax_platforms_env
+    import jax
+    honor_jax_platforms_env()
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from tpucomp import parallel
+    from tpucomp.chunk import ChunkBatch
+    from tpucomp.utils import synth
+
+    if args.filename:
+        with open(args.filename, "rb") as f:
+            buf = f.read()
+    else:
+        buf = synth.mixed_corpus(args.synthetic_mb << 20, seed=42).tobytes()
+
+    all_devs = jax.devices()
+    dev_counts = args.devices or [len(all_devs)]
+
+    if args.csv_output:
+        print("devices,format,chunks,raw_bytes,wire_bytes,ratio,"
+              "per_device_GBps,system_GBps")
+
+    for nd in dev_counts:
+        if nd > len(all_devs):
+            print(f"skip {nd} devices (have {len(all_devs)})", file=sys.stderr)
+            continue
+        mesh = Mesh(np.array(all_devs[:nd]), ("chunks",))
+        cb = ChunkBatch.from_bytes(buf, chunk_size=args.page_size)
+        # chunk count must divide evenly over the mesh
+        n = (cb.num_chunks // nd) * nd
+        cb = ChunkBatch(data=cb.data[:n], sizes=cb.sizes[:n])
+        raw = int(np.asarray(cb.total_bytes))
+
+        for fmt in args.formats:
+            if fmt == "none":
+                # uncompressed all-gather baseline
+                def step(d, s):
+                    return (jax.lax.all_gather(d, "chunks", tiled=True),
+                            jax.lax.all_gather(s, "chunks", tiled=True))
+                fn = jax.jit(jax.shard_map(
+                    step, mesh=mesh,
+                    in_specs=(P("chunks", None), P("chunks")),
+                    out_specs=(P(None, None), P(None)), check_vma=False))
+                wire = raw
+            else:
+                fn = parallel.compressed_all_gather_fn(
+                    fmt, mesh, "chunks", cb.max_chunk_bytes)
+            d = jax.device_put(cb.data, NamedSharding(mesh, P("chunks", None)))
+            s = jax.device_put(cb.sizes, NamedSharding(mesh, P("chunks")))
+
+            out = fn(d, s)
+            jax.block_until_ready(out)
+            if fmt != "none":
+                dec, dsz, csz, status = out
+                assert int(status) == 0, f"{fmt}: status {int(status)}"
+                got = ChunkBatch(data=dec, sizes=dsz).to_bytes()
+                assert got == cb.to_bytes(), f"{fmt}: all-gather mismatch"
+                wire = int(np.asarray(csz).sum())
+
+            best = float("inf")
+            for _ in range(args.iterations):
+                t0 = time.time()
+                jax.block_until_ready(fn(d, s))
+                best = min(best, time.time() - t0)
+
+            # reference accounting: each device receives (N-1)/N of the data
+            per_dev = (nd - 1) / nd * raw / best / 1e9 if nd > 1 else raw / best / 1e9
+            system = per_dev * nd
+            if args.csv_output:
+                print(f"{nd},{fmt},{n},{raw},{wire},{raw/max(wire,1):.2f},"
+                      f"{per_dev:.4f},{system:.4f}")
+            else:
+                print(f"[{nd} devices] {fmt:9s} chunks={n} raw={raw} "
+                      f"wire={wire} ratio={raw/max(wire,1):.2f} "
+                      f"per-device {per_dev:.3f} GB/s, system {system:.3f} GB/s")
+
+
+if __name__ == "__main__":
+    main()

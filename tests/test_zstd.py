@@ -1,0 +1,121 @@
+"""Zstd codec tests: decode vs python-zstandard at many levels, store-mode
+encode, pure-python reference decoder cross-validation, robustness."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import zstandard
+
+sys.path.insert(0, str(Path(__file__).parent))
+from zstd_pyref import decode_frame  # noqa: E402
+
+from tpucomp.chunk import ChunkBatch  # noqa: E402
+from tpucomp.constants import Status  # noqa: E402
+from tpucomp.formats import zstd as tz  # noqa: E402
+from tpucomp.utils import synth  # noqa: E402
+
+
+def fixtures():
+    return {
+        "tiny": b"abc",
+        "text4k": synth.text_like(4096).tobytes(),
+        "runs4k": synth.runs(4096).tobytes(),
+        "rand2k": synth.random_bytes(2048).tobytes(),
+        "mixed16k": synth.mixed_corpus(16384).tobytes(),
+        "zeros8k": bytes(8192),
+        "lowcard8k": synth.low_cardinality_ints(8192).tobytes(),
+    }
+
+
+OUT_CAP = 16384
+
+
+def our_decode(comp_chunks):
+    cb = ChunkBatch.from_chunks(comp_chunks, max_chunk_bytes=20000)
+    out, sizes, stat = tz.decompress_batch(cb.data, cb.sizes, OUT_CAP)
+    return ([bytes(np.asarray(out[i, : sizes[i]])) for i in range(len(comp_chunks))],
+            np.asarray(stat))
+
+
+class TestPyReference:
+    """The pure-python oracle must match python-zstandard everywhere first."""
+
+    @pytest.mark.parametrize("level", [1, 3, 9, 19])
+    def test_levels(self, level):
+        cctx = zstandard.ZstdCompressor(level=level)
+        for name, data in fixtures().items():
+            assert decode_frame(cctx.compress(data)) == data, f"{name} L{level}"
+
+
+class TestDecodeVsZstandard:
+    @pytest.mark.parametrize("level", [1, 3, 9, 19])
+    def test_levels(self, level):
+        data = fixtures()
+        cctx = zstandard.ZstdCompressor(level=level)
+        comp = [cctx.compress(v) for v in data.values()]
+        got, stat = our_decode(comp)
+        for (name, orig), g, s in zip(data.items(), got, stat):
+            assert s == Status.SUCCESS, f"{name} L{level}: status {s}"
+            assert g == orig, f"mismatch on {name!r} L{level}"
+
+    def test_empty(self):
+        comp = zstandard.ZstdCompressor().compress(b"")
+        got, stat = our_decode([comp])
+        assert stat[0] == Status.SUCCESS and got[0] == b""
+
+    def test_with_checksum(self):
+        data = synth.text_like(4096).tobytes()
+        comp = zstandard.ZstdCompressor(level=3, write_checksum=True).compress(data)
+        got, stat = our_decode([comp])
+        assert stat[0] == Status.SUCCESS and got[0] == data
+
+
+class TestEncode:
+    def test_store_mode_zstandard_decodes(self):
+        data = fixtures()
+        cb = ChunkBatch.from_chunks(list(data.values()), max_chunk_bytes=OUT_CAP)
+        cap = tz.max_compressed_chunk_size(OUT_CAP)
+        out, osz, ost = tz.compress_batch(cb.data, cb.sizes, tz.DEFAULT_OPTS, cap)
+        assert all(np.asarray(ost) == Status.SUCCESS)
+        dctx = zstandard.ZstdDecompressor()
+        for (name, orig), i in zip(data.items(), range(len(data))):
+            frame = bytes(np.asarray(out[i, : osz[i]]))
+            assert dctx.decompress(frame, max_output_size=OUT_CAP) == orig, name
+
+    def test_self_roundtrip(self):
+        data = fixtures()
+        cb = ChunkBatch.from_chunks(list(data.values()), max_chunk_bytes=OUT_CAP)
+        cap = tz.max_compressed_chunk_size(OUT_CAP)
+        out, osz, _ = tz.compress_batch(cb.data, cb.sizes, tz.DEFAULT_OPTS, cap)
+        got, stat = our_decode([bytes(np.asarray(out[i, : osz[i]]))
+                                for i in range(len(data))])
+        assert got == list(data.values())
+
+    def test_get_decompress_size(self):
+        import jax
+        data = synth.text_like(5000).tobytes()
+        cb = ChunkBatch.from_chunks([data])
+        cap = tz.max_compressed_chunk_size(5000)
+        out, osz, _ = tz.compress_batch(cb.data, cb.sizes, tz.DEFAULT_OPTS, cap)
+        sizes = jax.vmap(tz.get_decompress_size)(out, osz)
+        assert int(sizes[0]) == 5000
+
+
+class TestRobustness:
+    def test_garbage(self):
+        got, stat = our_decode([synth.random_bytes(500, seed=3).tobytes()])
+        assert stat[0] == Status.ERROR_CANNOT_DECOMPRESS
+
+    def test_truncated(self):
+        data = synth.text_like(8192).tobytes()
+        comp = zstandard.ZstdCompressor(level=3).compress(data)
+        got, stat = our_decode([comp[: len(comp) // 2]])
+        assert stat[0] != Status.SUCCESS
+
+    def test_flipped_bit(self):
+        data = synth.text_like(8192).tobytes()
+        comp = bytearray(zstandard.ZstdCompressor(level=3).compress(data))
+        comp[len(comp) // 2] ^= 0x10
+        got, stat = our_decode([bytes(comp)])
+        assert stat[0] != Status.SUCCESS or got[0] != data

@@ -72,6 +72,8 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
                   verify: bool = True) -> BenchResult:
     """Chunked round-trip benchmark of one format over pre-split chunks."""
     import jax
+    from tpucomp.utils import honor_jax_platforms_env
+    honor_jax_platforms_env()
     from tpucomp import batched
 
     if duplicate_count:

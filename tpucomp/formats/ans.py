@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from tpucomp.constants import Status
+from tpucomp.ops.parallel_lz import DUMP_SLOTS, dump_spread
 
 MAGIC = 0xA5
 VERSION = 1
@@ -50,7 +51,8 @@ DEFAULT_OPTS = ANSOpts()
 
 def max_compressed_chunk_size(max_chunk_bytes: int, opts: ANSOpts = DEFAULT_OPTS) -> int:
     """Worst case: one u16 emitted per symbol plus the fixed header."""
-    return HEADER_BYTES + 2 * max_chunk_bytes + 64
+    n = HEADER_BYTES + 2 * max_chunk_bytes + 64
+    return (n + 1023) & ~1023
 
 
 # =====================================================================================
@@ -156,8 +158,10 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ANSOpts,
     lane_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                 jnp.cumsum(lane_words)[:-1].astype(jnp.int32)])
     total_words = jnp.sum(lane_words)
-    flat_idx = jnp.where(emits_l, lane_off[:, None] + idx_in_lane, T * N_LANES)
-    stream = jnp.zeros((T * N_LANES + 1,), jnp.uint32).at[
+    pos_l = (jnp.arange(N_LANES)[:, None] * T + jnp.arange(T)[None, :])
+    flat_idx = jnp.where(emits_l, lane_off[:, None] + idx_in_lane,
+                         dump_spread(pos_l, T * N_LANES))
+    stream = jnp.zeros((T * N_LANES + DUMP_SLOTS,), jnp.uint32).at[
         flat_idx.reshape(-1)].set(words_l.reshape(-1))[:T * N_LANES]
 
     # ---- serialize -----------------------------------------------------------------

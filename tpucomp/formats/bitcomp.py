@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from tpucomp.constants import ElementType, Status
+from tpucomp.ops.parallel_lz import DUMP_SLOTS, dump_spread
 
 MAGIC = 0xB1
 VERSION = 1
@@ -62,7 +63,7 @@ def max_compressed_chunk_size(max_chunk_bytes: int,
     a0 = (HEADER_BYTES + ((nsub + 3) & ~3) + ((nsub * ts + 3) & ~3)
           + n_el * 8 + 8)  # width table + seeds + 64-bit worst-case words
     a1 = HEADER_BYTES + (((n_el + 7) // 8 + 3) & ~3) + 4 + n_el * ts
-    return max(a0, a1)
+    return (max(a0, a1) + 1023) & ~1023
 
 
 def _u64_view(data: jax.Array, size: jax.Array, ts: int, cap_el: int):
@@ -128,8 +129,8 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: BitcompOpts,
         # compact nonzero values
         rank = jnp.cumsum(nz.astype(jnp.int32)) - 1
         count = jnp.sum(nz.astype(jnp.int32))
-        vals = jnp.zeros((cap_el + 1,), jnp.uint64).at[
-            jnp.where(nz, rank, cap_el)].set(v)[:cap_el]
+        vals = jnp.zeros((cap_el + DUMP_SLOTS,), jnp.uint64).at[
+            jnp.where(nz, rank, dump_spread(i, cap_el))].set(v)[:cap_el]
         val_bytes = _bytes_from_u64(vals, ts, cap_el * ts)
 
         off_bm = HEADER_BYTES
@@ -183,9 +184,9 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: BitcompOpts,
         w2 = ((b_hi << sh) >> 32).astype(jnp.uint32)
         cap_words = 2 * cap_el + 4
         emit = jnp.logical_and(valid, eb > 0)
-        words = jnp.zeros((cap_words + 1,), jnp.uint32)
+        words = jnp.zeros((cap_words + DUMP_SLOTS,), jnp.uint32)
         for off_k, part in ((0, w0), (1, w1), (2, w2)):
-            tgt = jnp.where(emit, widx + off_k, cap_words)
+            tgt = jnp.where(emit, widx + off_k, dump_spread(i, cap_words))
             words = words.at[tgt].add(part)
         words = words[:cap_words]
 

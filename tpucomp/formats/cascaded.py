@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from tpucomp.constants import ElementType, Status
 from tpucomp.ops import bitpack
+from tpucomp.ops.parallel_lz import DUMP_SLOTS, dump_spread
 
 MAGIC = 0xCA
 VERSION = 1
@@ -113,9 +114,9 @@ def rle_encode(v: jax.Array, count: jax.Array):
     boundary = jnp.logical_and(valid, v != prev)
     seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     n_runs = jnp.sum(boundary.astype(jnp.int32))
-    tgt = jnp.where(valid, seg, cap)
-    vals = jnp.zeros((cap + 1,), jnp.int64).at[tgt].set(v)[:cap]
-    runs = jnp.zeros((cap + 1,), jnp.int64).at[tgt].add(1)[:cap]
+    tgt = jnp.where(valid, seg, dump_spread(idx, cap))
+    vals = jnp.zeros((cap + DUMP_SLOTS,), jnp.int64).at[tgt].set(v)[:cap]
+    runs = jnp.zeros((cap + DUMP_SLOTS,), jnp.int64).at[tgt].add(1)[:cap]
     return vals, runs, n_runs
 
 
@@ -229,7 +230,7 @@ def max_compressed_chunk_size(max_chunk_bytes: int, opts: CascadedOpts = DEFAULT
     size = HEADER_BYTES
     size += opts.num_rles * (STREAM_HEADER_BYTES + 4 * cap_el)  # run widths <= 32
     size += STREAM_HEADER_BYTES + (val_bits // 8) * cap_el
-    return size
+    return (size + 1023) & ~1023
 
 
 def encode_chunk(data: jax.Array, size: jax.Array, opts: CascadedOpts,

@@ -74,7 +74,8 @@ DEFAULT_OPTS = DeflateOpts()
 def max_compressed_chunk_size(max_chunk_bytes: int,
                               opts: DeflateOpts = DEFAULT_OPTS) -> int:
     # fixed-Huffman worst case ~9 bits/byte literal + block overhead
-    return max_chunk_bytes + max_chunk_bytes // 2 + 64
+    n = max_chunk_bytes + max_chunk_bytes // 2 + 64
+    return (n + 1023) & ~1023
 
 
 def _ceil_log2(n: int) -> int:

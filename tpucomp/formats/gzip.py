@@ -22,7 +22,7 @@ FTEXT, FHCRC, FEXTRA, FNAME, FCOMMENT = 1, 2, 4, 8, 16
 
 
 def max_compressed_chunk_size(max_chunk_bytes: int, opts=None) -> int:
-    return _deflate.max_compressed_chunk_size(max_chunk_bytes) + 32
+    return _deflate.max_compressed_chunk_size(max_chunk_bytes) + 1024
 
 
 def decode_chunk(comp: jax.Array, comp_size: jax.Array,

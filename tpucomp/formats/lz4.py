@@ -63,8 +63,10 @@ DEFAULT_OPTS = LZ4Opts()
 
 
 def max_compressed_chunk_size(max_chunk_bytes: int, opts: LZ4Opts = DEFAULT_OPTS) -> int:
-    """Standard LZ4 worst-case bound (incompressible data expands slightly)."""
-    return max_chunk_bytes + max_chunk_bytes // 255 + 16
+    """Standard LZ4 worst-case bound, rounded up to a TPU-tile-friendly multiple
+    (odd 1-D array lengths hit slow XLA layout paths)."""
+    n = max_chunk_bytes + max_chunk_bytes // 255 + 16
+    return (n + 1023) & ~1023
 
 
 def _ceil_log2(n: int) -> int:
@@ -250,10 +252,12 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: LZ4Opts,
     cap_tok = cap // MIN_MATCH + 2
     is_tok = jnp.logical_and(reach, has_match)
     n_tok = jnp.sum(is_tok.astype(jnp.int32))
-    tok_slot = jnp.where(is_tok, jnp.cumsum(is_tok.astype(jnp.int32)) - 1, cap_tok)
+    tok_slot = jnp.where(is_tok, jnp.cumsum(is_tok.astype(jnp.int32)) - 1,
+                         plz.dump_spread(p, cap_tok))
 
     def collect(v, fill=0):
-        return jnp.full((cap_tok + 1,), fill, jnp.int32).at[tok_slot].set(v)[:cap_tok]
+        return jnp.full((cap_tok + plz.DUMP_SLOTS,), fill,
+                        jnp.int32).at[tok_slot].set(v)[:cap_tok]
 
     t_pos = collect(p)
     t_ml = collect(mlen)

@@ -44,8 +44,9 @@ DEFAULT_OPTS = SnappyOpts()
 
 
 def max_compressed_chunk_size(max_chunk_bytes: int, opts: SnappyOpts = DEFAULT_OPTS) -> int:
-    """snappy_max_compressed_length: 32 + n + n/6."""
-    return 32 + max_chunk_bytes + max_chunk_bytes // 6
+    """snappy_max_compressed_length (32 + n + n/6), rounded to a tile multiple."""
+    n = 32 + max_chunk_bytes + max_chunk_bytes // 6
+    return (n + 1023) & ~1023
 
 
 def _ceil_log2(n: int) -> int:
@@ -201,10 +202,12 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: SnappyOpts,
     cap_tok = cap // MIN_MATCH + 2
     is_tok = jnp.logical_and(reach, has_match)
     n_tok = jnp.sum(is_tok.astype(jnp.int32))
-    tok_slot = jnp.where(is_tok, jnp.cumsum(is_tok.astype(jnp.int32)) - 1, cap_tok)
+    tok_slot = jnp.where(is_tok, jnp.cumsum(is_tok.astype(jnp.int32)) - 1,
+                         plz.dump_spread(p, cap_tok))
 
     def collect(v, fill=0):
-        return jnp.full((cap_tok + 1,), fill, jnp.int32).at[tok_slot].set(v)[:cap_tok]
+        return jnp.full((cap_tok + plz.DUMP_SLOTS,), fill,
+                        jnp.int32).at[tok_slot].set(v)[:cap_tok]
 
     t_pos = collect(p)
     t_ml = collect(mlen)

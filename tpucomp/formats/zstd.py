@@ -1,0 +1,1035 @@
+"""Zstandard (RFC 8878) codec: full decoder + raw/RLE-block encoder.
+
+Analog of ``nvcompBatchedZstd*`` (decompress since 2.3, compress since 2.4;
+empty opts struct, ``benchmarks/benchmark_zstd_chunked.cu:31,54-56``;
+``CHANGELOG.md:22,38-41,55,80,121``).
+
+Decoder architecture follows :mod:`tpucomp.formats.deflate`: a per-chunk
+``while_loop`` state machine does the *parse* (frame header, block headers,
+Huffman-tree descriptions, FSE table descriptions, the four interleaved literal
+streams, and the backward sequence bitstream), producing a decoded literal
+buffer plus a compact token stream of (literal-run, match) sequences; output
+bytes then materialize fully in parallel (cumsum offsets + gather from the
+literal buffer + log-doubling LZ77 resolve).  ``vmap`` batches every chunk in
+lockstep, and the four Huffman literal streams decode simultaneously (one
+symbol per stream per step), which is exactly the SIMD use the format's
+4-stream mode was designed for.
+
+Supported: raw/RLE/compressed blocks; raw/RLE/compressed/treeless literals
+(1- and 4-stream); predefined/RLE/FSE-compressed/repeat sequence tables; repeat
+offsets incl. the ``literal_length == 0`` special case; content checksum and
+window fields parsed (checksum skipped, not verified).  Not supported:
+dictionaries, skippable frames, multi-frame concatenation.
+
+The encoder emits valid single-frame streams of raw (store) blocks, with RLE
+blocks where a whole block is one byte — enough for API parity and guaranteed
+interop (python-zstandard decodes it); entropy-coded encoding is a planned
+upgrade.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucomp.constants import Status
+from tpucomp.ops import parallel_lz as plz
+
+MAGIC = 0xFD2FB528
+MAX_ACC_LOG = 9           # LL/ML max 9, OF max 8
+FSE_CAP = 1 << MAX_ACC_LOG
+HUF_MAX_BITS = 11
+HUF_CAP = 1 << HUF_MAX_BITS
+
+# --- sequence code tables (RFC 8878 3.1.1.3.2.1) -------------------------------------
+
+LL_BITS = np.array([0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11,
+                    12, 13, 14, 15, 16], np.int32)
+LL_BASE = np.array(list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64,
+                    128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536],
+                   np.int32)
+ML_BITS = np.array([0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                    11, 12, 13, 14, 15, 16], np.int32)
+ML_BASE = np.array(list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67,
+                    83, 99, 131, 259, 515, 1027, 2051, 4099, 8195, 16387,
+                    32771, 65539], np.int32)
+
+LL_DEFAULT = np.array([4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2,
+                       2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1,
+                       -1], np.int32)
+ML_DEFAULT = np.array([1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                       1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                       1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1,
+                       -1], np.int32)
+OF_DEFAULT = np.array([1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                       1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1], np.int32)
+LL_DEFAULT_ACC, ML_DEFAULT_ACC, OF_DEFAULT_ACC = 6, 6, 5
+
+
+@dataclasses.dataclass(frozen=True)
+class ZstdOpts:
+    """Analog of the empty ``nvcompBatchedZstdOpts_t``."""
+
+
+DEFAULT_OPTS = ZstdOpts()
+
+
+def max_compressed_chunk_size(max_chunk_bytes: int, opts: ZstdOpts = DEFAULT_OPTS) -> int:
+    # encoder emits raw blocks: frame header (<=6) + 3B per <=128K block + data
+    nblocks = max(1, -(-max_chunk_bytes // (1 << 17)))
+    n = 8 + 3 * (nblocks + 1) + max_chunk_bytes + 32
+    return (n + 1023) & ~1023
+
+
+def _ceil_log2(n: int) -> int:
+    return max(1, math.ceil(math.log2(max(n, 2))))
+
+
+# =====================================================================================
+# FSE decode-table construction (numpy for the predefined tables; traced for
+# tables read from the stream — same algorithm)
+# =====================================================================================
+
+def _fse_build_np(norm: np.ndarray, acc_log: int) -> np.ndarray:
+    """Decode table as int32[FSE_CAP] packed (symbol | nbits<<8 | baseline<<16)."""
+    size = 1 << acc_log
+    table_sym = np.zeros(size, np.int32)
+    high = size - 1
+    # "less than 1" symbols get one slot each at the end
+    for s, p in enumerate(norm):
+        if p == -1:
+            table_sym[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    for s, p in enumerate(norm):
+        for _ in range(max(int(p), 0)):
+            table_sym[pos] = s
+            pos = (pos + step) & (size - 1)
+            while pos > high:
+                pos = (pos + step) & (size - 1)
+    # per-slot nbits / baseline
+    sym_next = np.array([1 if p == -1 else max(int(p), 0) for p in norm], np.int64)
+    packed = np.zeros(FSE_CAP, np.int32)
+    for i in range(size):
+        s = table_sym[i]
+        x = sym_next[s]
+        sym_next[s] += 1
+        nbits = acc_log - (int(x).bit_length() - 1)
+        base = (int(x) << nbits) - size
+        packed[i] = s | (nbits << 8) | (base << 16)
+    return packed
+
+
+LL_DEFAULT_TABLE = _fse_build_np(LL_DEFAULT, LL_DEFAULT_ACC)
+ML_DEFAULT_TABLE = _fse_build_np(ML_DEFAULT, ML_DEFAULT_ACC)
+OF_DEFAULT_TABLE = _fse_build_np(OF_DEFAULT, OF_DEFAULT_ACC)
+
+
+def _fse_build_traced(norm: jax.Array, nsym: jax.Array, acc_log: jax.Array):
+    """Traced version of :func:`_fse_build_np` -> (packed int32[FSE_CAP], ok).
+
+    ``norm`` int32[max_sym] with -1 for less-than-1; entries >= nsym are zero.
+    """
+    max_sym = norm.shape[0]
+    size = (jnp.int32(1) << acc_log).astype(jnp.int32)
+    ks = jnp.arange(FSE_CAP, dtype=jnp.int32)
+
+    # slots for -1 symbols at the end (in symbol order, descending position)
+    is_m1 = jnp.logical_and(norm == -1, jnp.arange(max_sym) < nsym)
+    m1_rank = jnp.cumsum(is_m1.astype(jnp.int32)) - 1
+    n_m1 = jnp.sum(is_m1.astype(jnp.int32))
+    high = size - 1 - n_m1
+    table_sym = jnp.zeros((FSE_CAP + 1,), jnp.int32)
+    m1_pos = jnp.where(is_m1, size - 1 - m1_rank, FSE_CAP)
+    table_sym = table_sym.at[jnp.clip(m1_pos, 0, FSE_CAP)].set(
+        jnp.arange(max_sym, dtype=jnp.int32))
+
+    # spread positive symbols with the step walk (sequential by spec)
+    step = (size >> 1) + (size >> 3) + 3
+    total_pos = jnp.sum(jnp.where(jnp.arange(max_sym) < nsym,
+                                  jnp.maximum(norm, 0), 0))
+
+    def spread_body(k, carry):
+        table_sym, pos, sym_i, cnt_left = carry
+        # advance to the symbol with remaining count
+        def adv(c):
+            si, cl = c
+            return si + 1, jnp.where(
+                si + 1 < max_sym,
+                jnp.maximum(norm[jnp.clip(si + 1, 0, max_sym - 1)], 0), 0)
+        def adv_cond(c):
+            si, cl = c
+            return jnp.logical_and(cl == 0, si < max_sym)
+        sym_i, cnt_left = jax.lax.while_loop(adv_cond, adv, (sym_i, cnt_left))
+        table_sym = table_sym.at[jnp.clip(pos, 0, FSE_CAP)].set(
+            jnp.clip(sym_i, 0, max_sym - 1))
+        cnt_left = cnt_left - 1
+        # next position, skipping the -1 region
+        def skip(p):
+            return (p + step) & (size - 1)
+        pos = skip(pos)
+        pos = jax.lax.while_loop(lambda p: p > high, skip, pos)
+        return table_sym, pos, sym_i, cnt_left
+
+    init = (table_sym, jnp.int32(0) + 0 * acc_log, jnp.int32(-1) + 0 * acc_log,
+            jnp.int32(0) + 0 * acc_log)
+    table_sym, _, _, _ = jax.lax.fori_loop(
+        0, jnp.clip(total_pos, 0, FSE_CAP), spread_body, init)
+    table_sym = table_sym[:FSE_CAP]
+
+    # per-slot nbits/baseline: rank of slot within its symbol (slot order)
+    # occurrence index via stable per-symbol counting over slots
+    valid_slot = ks < size
+    # rank_in_symbol[i] = number of slots j<i with same symbol
+    # O(size * nsym) would be heavy; use sort-based ranking instead
+    key = jnp.where(valid_slot, table_sym[ks], max_sym).astype(jnp.int64) * FSE_CAP + ks
+    order = jnp.argsort(key).astype(jnp.int32)
+    sym_sorted = table_sym[order]
+    same = jnp.concatenate([jnp.zeros((1,), jnp.bool_),
+                            sym_sorted[1:] == sym_sorted[:-1]])
+    rank_sorted = plz.prefix_run_length(same)  # 0 for first of each symbol
+    rank = jnp.zeros((FSE_CAP,), jnp.int32).at[order].set(rank_sorted)
+
+    start = jnp.where(jnp.logical_and(norm == -1, jnp.arange(max_sym) < nsym), 1,
+                      jnp.maximum(norm, 0))
+    x = start[jnp.clip(table_sym, 0, max_sym - 1)] + rank
+    # nbits = acc_log - floor(log2(x))
+    xl = jnp.zeros((FSE_CAP,), jnp.int32)
+    for k in range(MAX_ACC_LOG + 2):
+        xl = xl + ((x >> k) > 0).astype(jnp.int32)
+    nbits = jnp.clip(acc_log - (xl - 1), 0, 31)
+    base = (x << nbits) - size
+    packed = table_sym | (nbits << 8) | (jnp.clip(base, 0, (1 << 15) - 1) << 16)
+    packed = jnp.where(valid_slot, packed, 0)
+    ok = jnp.sum(start * 0 + jnp.where(jnp.arange(max_sym) < nsym,
+                                       jnp.abs(norm), 0)) == size
+    return packed, ok
+
+
+def _fse_unpack(packed_entry):
+    sym = packed_entry & 0xFF
+    nbits = (packed_entry >> 8) & 0xFF
+    base = (packed_entry >> 16) & 0xFFFF
+    return sym, nbits, base
+
+
+# =====================================================================================
+# decoder
+# =====================================================================================
+
+TOK_SEQ = 1      # (lit_src, ll, ml, offset) -- ml may be 0 for the tail literals
+_DEBUG = False
+
+
+def decode_chunk(comp: jax.Array, comp_size: jax.Array,
+                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode one zstd frame -> (out uint8[out_cap], out_size, status)."""
+    cap = comp.shape[0]
+    comp_size = comp_size.astype(jnp.int32)
+    cap_tok = out_cap // 3 + 24
+    max_blocks = out_cap // 64 + 16
+    lit_cap = out_cap
+
+    ll_bits_t = jnp.asarray(LL_BITS)
+    ll_base_t = jnp.asarray(LL_BASE)
+    ml_bits_t = jnp.asarray(ML_BITS)
+    ml_base_t = jnp.asarray(ML_BASE)
+    ll_def = jnp.asarray(LL_DEFAULT_TABLE)
+    ml_def = jnp.asarray(ML_DEFAULT_TABLE)
+    of_def = jnp.asarray(OF_DEFAULT_TABLE)
+
+    gb = lambda o: comp[jnp.clip(o, 0, cap - 1)].astype(jnp.int32)
+
+    def bits_fwd(bitpos, n):
+        """Read n (<=24, traced) bits LSB-first at absolute forward bit pos."""
+        byte = bitpos >> 3
+        sh = (bitpos & 7).astype(jnp.uint32)
+        word = (gb(byte).astype(jnp.uint32)
+                | (gb(byte + 1).astype(jnp.uint32) << 8)
+                | (gb(byte + 2).astype(jnp.uint32) << 16)
+                | (gb(byte + 3).astype(jnp.uint32) << 24))
+        mask = jnp.where(n >= 32, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << jnp.uint32(jnp.clip(n, 0, 31))) - 1)
+        return ((word >> sh) & mask).astype(jnp.int32)
+
+    def bits_bwd(bits_left, base_bit, n):
+        """Read the top n bits of a backward stream whose bit 0 is at absolute
+        bit ``base_bit`` and which currently holds ``bits_left`` valid bits.
+        Returns (value, new_bits_left)."""
+        start = base_bit + bits_left - n
+        v = bits_fwd(jnp.maximum(start, base_bit), n)
+        v = jnp.where(n > 0, v, 0)
+        return v, bits_left - n
+
+    # ---------------- frame header ---------------------------------------------------
+    err0 = comp_size < 5
+    magic = (gb(0).astype(jnp.int64) | (gb(1).astype(jnp.int64) << 8)
+             | (gb(2).astype(jnp.int64) << 16) | (gb(3).astype(jnp.int64) << 24))
+    err0 = jnp.logical_or(err0, magic != MAGIC)
+    fhd = gb(4)
+    fcs_flag = fhd >> 6
+    single_seg = (fhd >> 5) & 1
+    checksum_flag = (fhd >> 2) & 1
+    did_flag = fhd & 3
+    err0 = jnp.logical_or(err0, ((fhd >> 3) & 1) == 1)  # reserved bit
+    pos = jnp.int32(5)
+    pos = pos + jnp.where(single_seg == 1, 0, 1)        # window descriptor
+    did_bytes = jnp.where(did_flag == 0, 0,
+                jnp.where(did_flag == 1, 1, jnp.where(did_flag == 2, 2, 4)))
+    err0 = jnp.logical_or(err0, did_flag != 0)          # dictionaries unsupported
+    pos = pos + did_bytes
+    fcs_bytes = jnp.where(fcs_flag == 0, jnp.where(single_seg == 1, 1, 0),
+                jnp.where(fcs_flag == 1, 2, jnp.where(fcs_flag == 2, 4, 8)))
+    pos = pos + fcs_bytes
+
+    st0 = dict(
+        pos=pos, done=err0, err=err0,
+        n_tok=jnp.int32(0) + 0 * pos, out_size=jnp.int32(0) + 0 * pos,
+        lit_len_total=jnp.int32(0) + 0 * pos,
+        n_blocks=jnp.int32(0) + 0 * pos,
+        toks=jnp.zeros((cap_tok, 4), jnp.int32) + 0 * pos,
+        litbuf=jnp.zeros((lit_cap,), jnp.uint8) + jnp.uint8(0) * pos.astype(jnp.uint8),
+        huf=jnp.zeros((HUF_CAP,), jnp.int32) + 0 * pos,   # sym | nbits<<8
+        huf_bits=jnp.int32(0) + 0 * pos,                  # table max bits
+        ll_tab=ll_def + 0 * pos, ll_acc=jnp.int32(LL_DEFAULT_ACC) + 0 * pos,
+        ml_tab=ml_def + 0 * pos, ml_acc=jnp.int32(ML_DEFAULT_ACC) + 0 * pos,
+        of_tab=of_def + 0 * pos, of_acc=jnp.int32(OF_DEFAULT_ACC) + 0 * pos,
+        rep=jnp.array([1, 4, 8], jnp.int32) + 0 * pos,
+    )
+
+    # ---------------- huffman table from weights -------------------------------------
+    def build_huf(weights, nsym, err):
+        """weights int32[256] (0 = unused), nsym explicit count; last weight is
+        implied.  Returns (table int32[HUF_CAP] sym|nbits<<8, max_bits, err)."""
+        ks = jnp.arange(256, dtype=jnp.int32)
+        wsum = jnp.sum(jnp.where(jnp.logical_and(ks < nsym, weights > 0),
+                                 jnp.int32(1) << jnp.clip(weights - 1, 0, 11), 0))
+        # implied last weight completes to the next power of two
+        tl = jnp.zeros((), jnp.int32)
+        for k in range(1, 13):
+            tl = jnp.where((wsum > (1 << (k - 1))) & (wsum <= (1 << k)), k, tl)
+        rest = (jnp.int32(1) << tl) - wsum
+        # rest must be a power of two
+        rest_bl = jnp.zeros((), jnp.int32)
+        for k in range(12):
+            rest_bl = rest_bl + ((rest >> k) > 0).astype(jnp.int32)
+        last_w = rest_bl  # log2(rest)+1
+        err = jnp.logical_or(err, wsum == 0)
+        err = jnp.logical_or(err, rest <= 0)
+        err = jnp.logical_or(err, (rest & (rest - 1)) != 0)
+        weights = weights.at[jnp.clip(nsym, 0, 255)].set(last_w)
+        nsym = nsym + 1
+        max_bits = tl
+        err = jnp.logical_or(err, max_bits > HUF_MAX_BITS)
+
+        nb = jnp.where(jnp.logical_and(ks < nsym, weights > 0),
+                       max_bits + 1 - weights, 0)
+        span = jnp.where(nb > 0, jnp.int32(1) << jnp.clip(max_bits - nb, 0, 11), 0)
+        # table order: symbols sorted by weight ascending (long codes first),
+        # natural order within a weight
+        key = jnp.where(nb > 0, (-nb).astype(jnp.int64) * 512 + ks, jnp.int64(1 << 40))
+        order = jnp.argsort(key).astype(jnp.int32)   # descending nb
+        span_o = span[order]
+        start_o = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(span_o)[:-1].astype(jnp.int32)])
+        # fill: every table slot finds its symbol via searchsorted
+        slot = jnp.arange(HUF_CAP, dtype=jnp.int32)
+        seg = jnp.clip(jnp.searchsorted(start_o, slot, side="right").astype(jnp.int32) - 1,
+                       0, 255)
+        sym = order[seg]
+        snb = nb[sym]
+        table = jnp.where(slot < (jnp.int32(1) << jnp.clip(max_bits, 0, 11)),
+                          sym | (snb << 8), 0)
+        total_span = jnp.sum(span)
+        err = jnp.logical_or(err, total_span != (jnp.int32(1) << jnp.clip(max_bits, 0, 11)))
+        return table, max_bits, err
+
+    # ---------------- FSE normalized count parsing -----------------------------------
+    def read_ncount(bit0, max_sym, err):
+        """Parse an FSE table description starting at absolute bit ``bit0``.
+
+        Returns (norm int32[64], nsym, acc_log, next_bitpos, err)."""
+        acc_log = bits_fwd(bit0, 4) + 5
+        err = jnp.logical_or(err, acc_log > MAX_ACC_LOG)
+        acc_log = jnp.clip(acc_log, 5, MAX_ACC_LOG)
+
+        def cond(c):
+            bp, rem, ch, prev0, norm, e = c
+            return jnp.logical_and(jnp.logical_and(rem > 1, ch < max_sym),
+                                   jnp.logical_not(e))
+
+        def body(c):
+            bp, rem, ch, prev0, norm, e = c
+
+            # zero-repeat flags after a 0 probability
+            def rep_cond(cc):
+                bp2, ch2, go = cc
+                return go
+
+            def rep_body(cc):
+                bp2, ch2, go = cc
+                r = bits_fwd(bp2, 2)
+                return bp2 + 2, ch2 + r, r == 3
+
+            bp_r, ch_r, _ = jax.lax.while_loop(
+                rep_cond, rep_body, (bp, ch, prev0))
+            bp = jnp.where(prev0, bp_r, bp)
+            ch = jnp.where(prev0, ch_r, ch)
+
+            # read the next probability with the small-value optimization
+            thr = jnp.int32(0)
+            nbb = jnp.int32(0)
+            for k in range(MAX_ACC_LOG + 2):
+                hit = (rem >> k) > 0
+                nbb = jnp.where(hit, k + 1, nbb)       # bitlength(rem)
+            thr = jnp.int32(1) << jnp.clip(nbb - 1, 0, 15)
+            mx = (2 * thr - 1) - rem
+            v = bits_fwd(bp, nbb)
+            low = v & (thr - 1)
+            small = low < mx
+            cnt = jnp.where(small, low, jnp.where(v >= thr, v - mx, v))
+            bp = bp + jnp.where(small, nbb - 1, nbb)
+            cnt = cnt - 1                                # -1 means "less than 1"
+            rem = rem - jnp.where(cnt < 0, 1, cnt)
+            norm = norm.at[jnp.clip(ch, 0, 63)].set(cnt)
+            e = jnp.logical_or(e, ch >= 64)
+            return bp, rem, ch + 1, cnt == 0, norm, e
+
+        norm0 = jnp.zeros((64,), jnp.int32) + 0 * bit0
+        size = jnp.int32(1) << acc_log
+        bp, rem, ch, _, norm, err = jax.lax.while_loop(
+            cond, body, (bit0 + 4, size + 1, jnp.int32(0) + 0 * bit0,
+                         bit0 < 0, norm0, err))
+        err = jnp.logical_or(err, rem != 1)
+        next_bit = (bp + 7) & ~7                         # byte-align after table
+        return norm, ch, acc_log, next_bit, err
+
+    # ---------------- sequence-section table setup -----------------------------------
+    def seq_table(mode, bytepos, prev_tab, prev_acc, default_tab, default_acc,
+                  max_sym, err):
+        """Handle one of LL/OF/ML per the 2-bit mode; returns (tab, acc, bytepos, err)."""
+        # mode 0: predefined, 1: RLE (1 byte), 2: FSE description, 3: repeat
+        rle_sym = gb(bytepos)
+        rle_tab = jnp.zeros((FSE_CAP,), jnp.int32).at[0].set(rle_sym)
+        norm, nsym, acc_log, nbit, err_f = read_ncount(bytepos * 8, max_sym, err)
+        fse_tab, fse_ok = _fse_build_traced(norm, nsym, acc_log)
+        tab = jnp.where(mode == 0, default_tab,
+              jnp.where(mode == 1, rle_tab,
+              jnp.where(mode == 2, fse_tab, prev_tab)))
+        acc = jnp.where(mode == 0, default_acc,
+              jnp.where(mode == 1, 0,
+              jnp.where(mode == 2, acc_log, prev_acc)))
+        newpos = jnp.where(mode == 1, bytepos + 1,
+                 jnp.where(mode == 2, nbit // 8, bytepos))
+        err = jnp.where(mode == 2, jnp.logical_or(err_f, jnp.logical_not(fse_ok)), err)
+        err = jnp.logical_or(err, jnp.logical_and(mode == 1, rle_sym >= max_sym))
+        return tab, acc, newpos, err
+
+    # ---------------- backward-stream helpers ----------------------------------------
+    def stream_bits(start_byte, nbytes, err):
+        """Backward stream occupying [start_byte, start_byte+nbytes): find the
+        padding bit -> total valid bits."""
+        lastb = gb(start_byte + nbytes - 1)
+        hb = jnp.int32(-1)
+        for k in range(8):
+            hb = jnp.where((lastb >> k) & 1 == 1, k, hb)
+        err = jnp.logical_or(err, jnp.logical_or(nbytes <= 0, hb < 0))
+        total = (nbytes - 1) * 8 + hb
+        return total, err
+
+    # ---------------- per-block body --------------------------------------------------
+    def block_cond(st):
+        return jnp.logical_not(jnp.logical_or(st["done"], st["err"]))
+
+    def block_body(st):
+        pos = st["pos"]
+        err = pos + 3 > comp_size
+        bh = gb(pos) | (gb(pos + 1) << 8) | (gb(pos + 2) << 16)
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        pos = pos + 3
+        err = jnp.logical_or(err, btype == 3)
+        block_end = pos + jnp.where(btype == 1, 1, bsize)
+        err = jnp.logical_or(err, block_end > comp_size)
+
+        # ===== raw block: one literal-run token straight from comp ===================
+        def raw_block():
+            tok = jnp.stack([pos, bsize, jnp.int32(0), jnp.int32(0)])
+            return tok, bsize
+
+        # ===== RLE block: bsize copies of one byte ===================================
+        # encode as 1 literal + (bsize-1)-byte match at offset 1
+        def rle_block():
+            tok = jnp.stack([pos, jnp.int32(1), bsize - 1, jnp.int32(1)])
+            return tok, bsize
+
+        is_raw = btype == 0
+        is_rle = btype == 1
+        is_comp = btype == 2
+
+        raw_tok, raw_out = raw_block()
+        rle_tok, rle_out = rle_block()
+
+        # ===== compressed block ======================================================
+        # ---- literals section ----
+        lsh = gb(pos)
+        lit_type = lsh & 3
+        size_fmt = (lsh >> 2) & 3
+        # raw/RLE literal sizes
+        rr_1b = lsh >> 3                                 # 5 bits
+        rr_2b = (lsh >> 4) | (gb(pos + 1) << 4)          # 12 bits
+        rr_3b = (lsh >> 4) | (gb(pos + 1) << 4) | (gb(pos + 2) << 12)  # 20 bits
+        rr_regen = jnp.where(size_fmt == 1, rr_2b,
+                   jnp.where(size_fmt == 3, rr_3b, rr_1b))
+        rr_hdr = jnp.where(size_fmt == 1, 2, jnp.where(size_fmt == 3, 3, 1))
+        # compressed literal sizes
+        c_hdr = jnp.where(size_fmt <= 1, 3, jnp.where(size_fmt == 2, 4, 5))
+        c_bits = jnp.where(size_fmt <= 1, 10, jnp.where(size_fmt == 2, 14, 18))
+        c_word = (gb(pos).astype(jnp.int64) | (gb(pos + 1).astype(jnp.int64) << 8)
+                  | (gb(pos + 2).astype(jnp.int64) << 16)
+                  | (gb(pos + 3).astype(jnp.int64) << 24)
+                  | (gb(pos + 4).astype(jnp.int64) << 32))
+        c_regen = ((c_word >> 4) & ((jnp.int64(1) << c_bits.astype(jnp.int64)) - 1)).astype(jnp.int32)
+        c_csize = ((c_word >> (4 + c_bits).astype(jnp.int64))
+                   & ((jnp.int64(1) << c_bits.astype(jnp.int64)) - 1)).astype(jnp.int32)
+        four_streams = jnp.logical_or(size_fmt >= 1, lit_type == 3_000)  # fmt 0 => 1 stream
+        four_streams = size_fmt >= 1
+
+        is_lit_rawrle = lit_type <= 1
+        lit_regen = jnp.where(is_lit_rawrle, rr_regen, c_regen)
+        lit_hdr = jnp.where(is_lit_rawrle, rr_hdr, c_hdr)
+        # cerr: compressed-path-only error chain (this whole section is computed
+        # speculatively even for raw/RLE blocks and must not pollute their err)
+        cerr = jnp.logical_or(err, lit_regen > lit_cap)
+        lit_regen = jnp.clip(lit_regen, 0, lit_cap)
+
+        lit_start_byte = pos + lit_hdr
+        # section end position
+        lit_end = jnp.where(is_lit_rawrle,
+                            lit_start_byte + jnp.where(lit_type == 1, 1, lit_regen),
+                            lit_start_byte + c_csize)
+        cerr = jnp.logical_or(cerr, lit_end > block_end)
+
+        litbuf = st["litbuf"]
+        lit_base = st["lit_len_total"]   # literals accumulate across blocks
+        li = jnp.arange(lit_cap, dtype=jnp.int32)
+        in_new = jnp.logical_and(li >= lit_base, li < lit_base + lit_regen)
+
+        # raw literals: vector copy from comp into [lit_base, lit_base+regen)
+        raw_lits = comp[jnp.clip(lit_start_byte + (li - lit_base), 0, cap - 1)]
+        rle_lits = jnp.broadcast_to(comp[jnp.clip(lit_start_byte, 0, cap - 1)],
+                                    (lit_cap,))
+
+        # ---- huffman literals ----
+        huf = st["huf"]
+        huf_bits = st["huf_bits"]
+        tree_pos = lit_start_byte
+        # tree description (lit_type == 2 only)
+        thdr = gb(tree_pos)
+        direct = thdr >= 128
+        n_dweights = thdr - 127
+        dk = jnp.arange(256, dtype=jnp.int32)
+        dw_byte = gb(tree_pos + 1 + (dk >> 1))
+        dweights = jnp.where((dk & 1) == 0, dw_byte >> 4, dw_byte & 0xF)
+        dweights = jnp.where(dk < n_dweights - 1, dweights, 0)
+        direct_bytes = 1 + (n_dweights >> 1)  # ceil((n-1)/2)... see below
+        # direct: Number_of_Weights = headerByte - 127; weights for symbols
+        # 0..n-2 are explicit (last implied); packed two per byte
+        n_explicit = n_dweights - 1
+        direct_bytes = 1 + ((n_explicit + 1) >> 1)
+
+        # FSE-compressed weights: headerByte = compressed size; two states
+        wtab_norm, wtab_nsym, wtab_acc, wbit, werr = read_ncount(
+            (tree_pos + 1) * 8, jnp.int32(32), cerr)
+        wtab, wtab_ok = _fse_build_traced(wtab_norm, wtab_nsym, wtab_acc)
+        wstream_start = wbit // 8
+        wstream_bytes = thdr - (wstream_start - (tree_pos + 1))
+        wbits_total, werr = stream_bits(wstream_start, wstream_bytes, werr)
+
+        def fse_weights():
+            # zstd tail-loop semantics: emit from a state, then update it; if
+            # the update consumed past the end (left < 0), emit the OTHER
+            # state's current symbol and stop.  Exactly-zero left continues.
+            def wcond(c):
+                bl, s0, s1, wi, ws, stop, e = c
+                return jnp.logical_and(jnp.logical_not(stop), jnp.logical_and(
+                    wi < 254, jnp.logical_not(e)))
+
+            def wbody(c):
+                bl, s0, s1, wi, ws, stop, e = c
+                sym0, nb0, base0 = _fse_unpack(wtab[jnp.clip(s0, 0, FSE_CAP - 1)])
+                ws = ws.at[jnp.clip(wi, 0, 255)].set(sym0)
+                v, bl = bits_bwd(bl, wstream_start * 8, nb0)
+                over0 = bl < 0
+                sym1a, _, _ = _fse_unpack(wtab[jnp.clip(s1, 0, FSE_CAP - 1)])
+                ws = jnp.where(over0, ws.at[jnp.clip(wi + 1, 0, 255)].set(sym1a), ws)
+                s0 = jnp.where(over0, s0, base0 + v)
+
+                sym1, nb1, base1 = _fse_unpack(wtab[jnp.clip(s1, 0, FSE_CAP - 1)])
+                ws = jnp.where(over0, ws,
+                               ws.at[jnp.clip(wi + 1, 0, 255)].set(sym1))
+                v1, bl1 = bits_bwd(bl, wstream_start * 8, nb1)
+                over1 = jnp.logical_and(jnp.logical_not(over0), bl1 < 0)
+                sym0b, _, _ = _fse_unpack(wtab[jnp.clip(s0, 0, FSE_CAP - 1)])
+                ws = jnp.where(over1, ws.at[jnp.clip(wi + 2, 0, 255)].set(sym0b), ws)
+                s1 = jnp.where(jnp.logical_or(over0, over1), s1, base1 + v1)
+                bl = jnp.where(over0, bl, bl1)
+                wi = wi + jnp.where(over0, 2, jnp.where(over1, 3, 2))
+                stop = jnp.logical_or(over0, over1)
+                return bl, s0, s1, wi, ws, stop, e
+
+            ws0 = jnp.zeros((256,), jnp.int32) + 0 * pos
+            bl0 = wbits_total
+            s0, bl = bits_bwd(bl0, wstream_start * 8, wtab_acc)
+            s1, bl = bits_bwd(bl, wstream_start * 8, wtab_acc)
+            e0 = jnp.logical_or(werr, bl < 0)
+            stop0 = jnp.logical_and(e0, True)
+            bl, _, _, wn, ws, _, e = jax.lax.while_loop(
+                wcond, wbody, (bl, s0, s1, jnp.int32(0) + 0 * pos, ws0,
+                               stop0, e0))
+            return ws, wn, e
+
+        fse_ws, fse_wn, fse_werr = fse_weights()
+        weights = jnp.where(direct, dweights, fse_ws)
+        n_weights = jnp.where(direct, n_explicit, fse_wn)
+        tree_bytes = jnp.where(direct, direct_bytes, 1 + thdr)
+        werr2 = jnp.where(direct, cerr, jnp.logical_or(
+            fse_werr, jnp.logical_not(wtab_ok)))
+
+        new_huf, new_huf_bits, herr = build_huf(weights, n_weights, werr2)
+        use_new_tree = lit_type == 2
+        huf = jnp.where(use_new_tree, new_huf, huf)
+        huf_bits = jnp.where(use_new_tree, new_huf_bits, huf_bits)
+        herr = jnp.where(use_new_tree, herr, cerr)
+        herr = jnp.logical_or(herr, jnp.logical_and(
+            lit_type == 3, huf_bits == 0))  # treeless without a previous tree
+
+        # streams region
+        streams_pos = jnp.where(use_new_tree, tree_pos + tree_bytes, tree_pos)
+        # 4-stream jump table
+        j1 = gb(streams_pos) | (gb(streams_pos + 1) << 8)
+        j2 = gb(streams_pos + 2) | (gb(streams_pos + 3) << 8)
+        j3 = gb(streams_pos + 4) | (gb(streams_pos + 5) << 8)
+        s_base = jnp.where(four_streams, streams_pos + 6, streams_pos)
+        total_stream_bytes = lit_end - s_base
+        s4 = total_stream_bytes - j1 - j2 - j3
+        herr = jnp.logical_or(herr, jnp.logical_and(
+            jnp.logical_and(is_comp, lit_type >= 2),
+            jnp.logical_and(four_streams, s4 <= 0)))
+
+        regen_per = (lit_regen + 3) >> 2
+        regen4 = lit_regen - 3 * regen_per
+        starts = jnp.where(four_streams,
+                           jnp.stack([s_base, s_base + j1, s_base + j1 + j2,
+                                      s_base + j1 + j2 + j3]),
+                           jnp.stack([s_base, s_base, s_base, s_base]))
+        lens = jnp.where(four_streams,
+                         jnp.stack([j1, j2, j3, s4]),
+                         jnp.stack([total_stream_bytes, jnp.int32(0),
+                                    jnp.int32(0), jnp.int32(0)]))
+        counts = jnp.where(four_streams,
+                           jnp.stack([regen_per, regen_per, regen_per, regen4]),
+                           jnp.stack([lit_regen, jnp.int32(0), jnp.int32(0),
+                                      jnp.int32(0)]))
+        lit_off = jnp.where(four_streams,
+                            jnp.stack([0, regen_per, 2 * regen_per, 3 * regen_per]),
+                            jnp.stack([0, 0, 0, 0]))
+
+        sbits = jnp.zeros((4,), jnp.int32)
+        for kk in range(4):
+            tb, e_k = stream_bits(starts[kk], lens[kk], herr)
+            herr = jnp.where(counts[kk] > 0, e_k, herr)
+            sbits = sbits.at[kk].set(jnp.where(counts[kk] > 0, tb, 0))
+
+        def huf_decode(litbuf):
+            def hcond(c):
+                bl, idx, lb, e = c
+                return jnp.logical_and(jnp.any(idx < counts),
+                                       jnp.logical_not(e))
+
+            def hbody(c):
+                bl, idx, lb, e = c
+                active = idx < counts
+                # peek huf_bits from the top of each stream
+                start_bits = starts * 8
+                p = start_bits + bl - huf_bits
+                pc = jnp.clip(p, start_bits, start_bits + jnp.maximum(sbits - 1, 0))
+                vals = jnp.zeros((4,), jnp.int32)
+                for kk in range(4):
+                    vals = vals.at[kk].set(bits_fwd(pc[kk], huf_bits))
+                # streams near exhaustion: the bl available bits form the TOP of
+                # the peek value, low bits implicitly zero
+                short = jnp.clip(huf_bits - bl, 0, 31)
+                avail_mask = (jnp.int32(1) << jnp.clip(huf_bits - short, 0, 31)) - 1
+                vals = jnp.where(short > 0, (vals & avail_mask) << short, vals)
+                ent = huf[jnp.clip(vals, 0, HUF_CAP - 1)]
+                sym = ent & 0xFF
+                nb = (ent >> 8) & 0xFF
+                e = jnp.logical_or(e, jnp.any(jnp.logical_and(active, nb == 0)))
+                wr = jnp.where(active, lit_base + lit_off + idx, lit_cap)
+                lb = lb.at[jnp.clip(wr, 0, lit_cap)].set(sym.astype(jnp.uint8),
+                                                         mode="drop")
+                bl = jnp.where(active, bl - nb, bl)
+                e = jnp.logical_or(e, jnp.any(jnp.logical_and(active, bl < 0)))
+                idx = idx + active.astype(jnp.int32)
+                return bl, idx, lb, e
+
+            bl0 = sbits
+            idx0 = jnp.zeros((4,), jnp.int32) + 0 * pos
+            bl, idx, lb, e = jax.lax.while_loop(
+                hcond, hbody, (bl0, idx0, litbuf, herr))
+            e = jnp.logical_or(e, jnp.any(jnp.logical_and(counts > 0, bl != 0)))
+            return lb, e
+
+        huf_lits, huf_err = huf_decode(litbuf)
+
+        # select the literal source for this block (huf_lits already wrote at
+        # lit_base; raw/RLE splice into the same region)
+        spliced = jnp.where(in_new,
+                            jnp.where(lit_type == 0, raw_lits, rle_lits),
+                            litbuf)
+        litbuf = jnp.where(is_comp,
+                           jnp.where(lit_type <= 1, spliced, huf_lits),
+                           litbuf)
+        lit_err = jnp.where(lit_type >= 2, huf_err, cerr)
+        lit_err = jnp.logical_or(lit_err, jnp.logical_and(
+            is_comp, lit_base + lit_regen > lit_cap))
+
+        # ---- sequences section ----
+        sq = lit_end
+        b0 = gb(sq)
+        nseq = jnp.where(b0 < 128, b0,
+               jnp.where(b0 < 255, ((b0 - 128) << 8) + gb(sq + 1),
+                         gb(sq + 1) + (gb(sq + 2) << 8) + 0x7F00))
+        nseq_hdr = jnp.where(b0 < 128, 1, jnp.where(b0 < 255, 2, 3))
+        sq = sq + nseq_hdr
+
+        scm = gb(sq)
+        ll_mode = (scm >> 6) & 3
+        of_mode = (scm >> 4) & 3
+        ml_mode = (scm >> 2) & 3
+        sq_tables = sq + 1
+
+        serr = lit_err
+        ll_tab, ll_acc, p1, serr = seq_table(
+            ll_mode, sq_tables, st["ll_tab"], st["ll_acc"], ll_def,
+            jnp.int32(LL_DEFAULT_ACC), jnp.int32(36), serr)
+        of_tab, of_acc, p2, serr = seq_table(
+            of_mode, p1, st["of_tab"], st["of_acc"], of_def,
+            jnp.int32(OF_DEFAULT_ACC), jnp.int32(32), serr)
+        ml_tab, ml_acc, p3, serr = seq_table(
+            ml_mode, p2, st["ml_tab"], st["ml_acc"], ml_def,
+            jnp.int32(ML_DEFAULT_ACC), jnp.int32(53), serr)
+
+        seq_stream_start = p3
+        seq_stream_bytes = block_end - seq_stream_start
+        seq_bits_total, serr = stream_bits(seq_stream_start, seq_stream_bytes,
+                                           jnp.where(nseq > 0, serr, False))
+
+        def decode_sequences(carry_in):
+            toks, n_tok, out_size, rep, lit_used, e = carry_in
+            base_bit = seq_stream_start * 8
+            bl = seq_bits_total
+            ll_s, bl = bits_bwd(bl, base_bit, ll_acc)
+            of_s, bl = bits_bwd(bl, base_bit, of_acc)
+            ml_s, bl = bits_bwd(bl, base_bit, ml_acc)
+
+            def scond(c):
+                i, bl, ll_s, of_s, ml_s, rep, lit_used, out_size, n_tok, toks, e = c
+                return jnp.logical_and(i < nseq, jnp.logical_not(e))
+
+            def sbody(c):
+                i, bl, ll_s, of_s, ml_s, rep, lit_used, out_size, n_tok, toks, e = c
+                ll_sym, ll_nb, ll_bs = _fse_unpack(ll_tab[jnp.clip(ll_s, 0, FSE_CAP - 1)])
+                of_sym, of_nb, of_bs = _fse_unpack(of_tab[jnp.clip(of_s, 0, FSE_CAP - 1)])
+                ml_sym, ml_nb, ml_bs = _fse_unpack(ml_tab[jnp.clip(ml_s, 0, FSE_CAP - 1)])
+                e = jnp.logical_or(e, ll_sym >= 36)
+                e = jnp.logical_or(e, ml_sym >= 53)
+                e = jnp.logical_or(e, of_sym >= 32)
+
+                ofv_hi, bl = bits_bwd(bl, base_bit, jnp.clip(of_sym, 0, 31))
+                offset_value = (jnp.int32(1) << jnp.clip(of_sym, 0, 30)) + ofv_hi
+                mlx, bl = bits_bwd(bl, base_bit, ml_bits_t[jnp.clip(ml_sym, 0, 52)])
+                ml = ml_base_t[jnp.clip(ml_sym, 0, 52)] + mlx
+                llx, bl = bits_bwd(bl, base_bit, ll_bits_t[jnp.clip(ll_sym, 0, 35)])
+                ll = ll_base_t[jnp.clip(ll_sym, 0, 35)] + llx
+
+                # repeat-offset logic
+                idx0 = offset_value - 1  # 0..2 when repeat
+                use_rep = offset_value <= 3
+                ridx = jnp.where(ll == 0, idx0 + 1, idx0)  # ll==0 shifts by one
+                rep3m1 = rep[0] - 1
+                cand = jnp.where(ridx == 0, rep[0],
+                       jnp.where(ridx == 1, rep[1],
+                       jnp.where(ridx == 2, rep[2], rep3m1)))  # ridx==3: rep1-1
+                offset = jnp.where(use_rep, cand, offset_value - 3)
+                e = jnp.logical_or(e, offset <= 0)
+                # history update
+                new_rep = jnp.where(
+                    use_rep,
+                    jnp.where(ridx == 0, rep,
+                              jnp.stack([offset, rep[0],
+                                         jnp.where(ridx >= 2, rep[1], rep[2])])),
+                    jnp.stack([offset, rep[0], rep[1]]))
+                # NB: for ridx==1 history is [off, rep0, rep2]; ridx==2/3 ->
+                # [off, rep0, rep1]
+                new_rep = jnp.where(
+                    jnp.logical_and(use_rep, ridx == 1),
+                    jnp.stack([offset, rep[0], rep[2]]), new_rep)
+
+                e = jnp.logical_or(e, offset > out_size + ll)
+                e = jnp.logical_or(e, lit_used + ll > lit_regen)
+                tok = jnp.stack([lit_base + lit_used, ll, ml, offset])
+                toks = jnp.where(
+                    n_tok < cap_tok,
+                    toks.at[jnp.clip(n_tok, 0, cap_tok - 1)].set(tok), toks)
+                e = jnp.logical_or(e, n_tok >= cap_tok)
+                e = jnp.logical_or(e, out_size + ll + ml > out_cap)
+                out_size = out_size + ll + ml
+                lit_used = lit_used + ll
+                n_tok = n_tok + 1
+
+                # state updates (LL, ML, OF order), skipped after the last seq
+                more = i + 1 < nseq
+                llv, bl1 = bits_bwd(bl, base_bit, ll_nb)
+                mlv, bl1 = bits_bwd(bl1, base_bit, ml_nb)
+                ofv, bl1 = bits_bwd(bl1, base_bit, of_nb)
+                ll_s = jnp.where(more, ll_bs + llv, ll_s)
+                ml_s = jnp.where(more, ml_bs + mlv, ml_s)
+                of_s = jnp.where(more, of_bs + ofv, of_s)
+                bl = jnp.where(more, bl1, bl)
+                e = jnp.logical_or(e, bl < 0)
+                return i + 1, bl, ll_s, of_s, ml_s, new_rep, lit_used, out_size, n_tok, toks, e
+
+            i0 = jnp.int32(0) + 0 * pos
+            _, bl, _, _, _, rep, lit_used, out_size, n_tok, toks, e = jax.lax.while_loop(
+                scond, sbody, (i0, bl, ll_s, of_s, ml_s, rep, lit_used,
+                               out_size, n_tok, toks, e))
+            e = jnp.logical_or(e, bl != 0)
+            return toks, n_tok, out_size, rep, lit_used, e
+
+        carry0 = (st["toks"], st["n_tok"], st["out_size"], st["rep"],
+                  jnp.int32(0) + 0 * pos, serr)
+        toks_s, n_tok_s, out_s, rep_s, lit_used_s, err_s = jax.lax.cond(
+            jnp.logical_and(is_comp, nseq > 0),
+            decode_sequences, lambda c: c, carry0)
+
+        # trailing literals (after last sequence) as a literal-only token;
+        # if nseq == 0 the entire regenerated literals are the block output
+        tail_ll = lit_regen - lit_used_s
+        err_s = jnp.logical_or(err_s, tail_ll < 0)
+        tail_tok = jnp.stack([lit_base + lit_used_s, jnp.maximum(tail_ll, 0),
+                              jnp.int32(0), jnp.int32(0)])
+        add_tail = jnp.logical_and(is_comp, tail_ll > 0)
+        toks_s = jnp.where(
+            add_tail,
+            toks_s.at[jnp.clip(n_tok_s, 0, cap_tok - 1)].set(tail_tok), toks_s)
+        n_tok_s = n_tok_s + add_tail.astype(jnp.int32)
+        out_s = out_s + jnp.where(is_comp, jnp.maximum(tail_ll, 0), 0)
+        err_s = jnp.logical_or(err_s, jnp.logical_and(
+            is_comp, out_s > out_cap))
+
+        # compressed-block tokens store lit_src as an absolute offset into the
+        # cumulative litbuf, tagged by +cap so emit can tell litbuf runs from
+        # comp-stream runs (raw/RLE blocks)
+        ti = jnp.arange(cap_tok, dtype=jnp.int32)
+        new_range = jnp.logical_and(ti >= st["n_tok"], ti < n_tok_s)
+        toks_s = jnp.where(jnp.logical_and(is_comp, new_range)[:, None],
+                           toks_s.at[:, 0].add(cap), toks_s)
+
+        # ===== select per block type =================================================
+        err = jnp.where(is_comp, err_s, err)
+        toks = jnp.where(is_comp, toks_s, st["toks"])
+        n_tok = jnp.where(is_comp, n_tok_s, st["n_tok"])
+        out_size = jnp.where(is_comp, out_s, st["out_size"])
+        rep = jnp.where(is_comp, rep_s, st["rep"])
+
+        # raw / RLE blocks append their single token
+        simple_tok = jnp.where(is_raw, raw_tok, rle_tok)
+        simple_out = jnp.where(is_raw, raw_out, rle_out)
+        add_simple = jnp.logical_and(jnp.logical_or(is_raw, is_rle),
+                                     simple_out > 0)
+        err = jnp.logical_or(err, jnp.logical_and(
+            add_simple, out_size + simple_out > out_cap))
+        toks = jnp.where(add_simple,
+                         toks.at[jnp.clip(n_tok, 0, cap_tok - 1)].set(simple_tok),
+                         toks)
+        n_tok = n_tok + add_simple.astype(jnp.int32)
+        out_size = out_size + jnp.where(add_simple, simple_out, 0)
+
+        st = dict(st)
+        st["pos"] = block_end
+        st["err"] = jnp.logical_or(st["err"], err)
+        st["done"] = jnp.logical_or(st["done"], last == 1)
+        st["toks"], st["n_tok"], st["out_size"] = toks, n_tok, out_size
+        st["rep"] = rep
+        st["litbuf"] = litbuf
+        st["lit_len_total"] = lit_base + jnp.where(is_comp, lit_regen, 0)
+        st["huf"], st["huf_bits"] = huf, huf_bits
+        st["ll_tab"], st["ll_acc"] = ll_tab, ll_acc
+        st["of_tab"], st["of_acc"] = of_tab, of_acc
+        st["ml_tab"], st["ml_acc"] = ml_tab, ml_acc
+        st["n_blocks"] = st["n_blocks"] + 1
+        st["err"] = jnp.logical_or(st["err"], st["n_blocks"] > max_blocks)
+        return st
+
+    st = jax.lax.while_loop(block_cond, block_body, st0)
+    err = st["err"]
+
+    # --------------- parallel emit ---------------------------------------------------
+    toks, n_tok, total_out = st["toks"], st["n_tok"], st["out_size"]
+    litbuf = st["litbuf"]
+    src, ll, ml, off = toks[:, 0], toks[:, 1], toks[:, 2], toks[:, 3]
+    ti = jnp.arange(cap_tok, dtype=jnp.int32)
+    tvalid = ti < n_tok
+    size_t = jnp.where(tvalid, ll + ml, 0)
+    ofs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(size_t)[:-1].astype(jnp.int32)])
+
+    opos = jnp.arange(out_cap, dtype=jnp.int32)
+    key = jnp.where(tvalid, ofs, jnp.int32(2**30))
+    k = jnp.clip(jnp.searchsorted(key, opos, side="right").astype(jnp.int32) - 1,
+                 0, cap_tok - 1)
+    rel = opos - ofs[k]
+    in_lit = rel < ll[k]
+    from_litbuf = src[k] >= cap
+    lit_idx = src[k] - jnp.where(from_litbuf, cap, 0) + rel
+    lit_from_comp = comp[jnp.clip(lit_idx, 0, cap - 1)].astype(jnp.int32)
+    lit_from_buf = litbuf[jnp.clip(lit_idx, 0, lit_cap - 1)].astype(jnp.int32)
+    val = jnp.where(from_litbuf, lit_from_buf, lit_from_comp)
+    known = jnp.logical_or(jnp.logical_and(in_lit, k >= 0), opos >= total_out)
+    val = jnp.where(in_lit, val, 0)
+    ptr = jnp.where(known, opos, jnp.clip(opos - off[k], 0, out_cap - 1))
+    resolved = plz.resolve_copy_chain(ptr, val, known,
+                                      max_rounds=_ceil_log2(out_cap) + 1)
+
+    ok = jnp.logical_not(err)
+    out_size = jnp.where(ok, total_out, 0).astype(jnp.int32)
+    out = jnp.where(opos < out_size, resolved, 0).astype(jnp.uint8)
+    status = jnp.where(ok, Status.SUCCESS, Status.ERROR_CANNOT_DECOMPRESS)
+    if _DEBUG:
+        dbg = jnp.stack([st["err"].astype(jnp.int32), err0.astype(jnp.int32),
+                         st["n_blocks"], st["n_tok"], st["out_size"],
+                         st["pos"], st["lit_len_total"], total_out])
+        return out, out_size, status.astype(jnp.int32), dbg
+    return out, out_size, status.astype(jnp.int32)
+
+
+# =====================================================================================
+# encoder: store-mode frames (raw blocks; RLE where a block is constant)
+# =====================================================================================
+
+def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
+                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    cap = data.shape[0]
+    size = size.astype(jnp.int32)
+    BLK = 1 << 16  # 64 KiB raw blocks
+    n_blocks_cap = max(1, -(-cap // BLK))
+
+    # frame header: magic + FHD(single-segment, FCS 4 bytes) -> we always use
+    # fcs_flag=2 (4-byte content size), no single-segment, window descriptor
+    # chosen to cover the content.
+    # window_log = ceil(log2(max(size,1024))): windowDesc exponent-10, mantissa 0
+    wl = jnp.int32(10)
+    for k in range(11, 25):
+        wl = jnp.where(size > (1 << (k - 1)), k, wl)
+    wdesc = ((wl - 10) << 3).astype(jnp.uint8)
+
+    hdr = jnp.zeros((10,), jnp.uint8)
+    for b, v in enumerate([MAGIC & 0xFF, (MAGIC >> 8) & 0xFF,
+                           (MAGIC >> 16) & 0xFF, (MAGIC >> 24) & 0xFF]):
+        hdr = hdr.at[b].set(v)
+    hdr = hdr.at[4].set(0x80)  # fcs_flag=2 (4-byte FCS)
+    hdr = hdr.at[5].set(wdesc)
+    for b in range(4):
+        hdr = hdr.at[6 + b].set(((size >> (8 * b)) & 0xFF).astype(jnp.uint8))
+    HDR = 10
+
+    # block layout
+    bi = jnp.arange(n_blocks_cap, dtype=jnp.int32)
+    blk_start = bi * BLK
+    blk_size = jnp.clip(size - blk_start, 0, BLK)
+    blk_active = blk_size > 0
+    n_blocks = jnp.maximum(jnp.sum(blk_active.astype(jnp.int32)), 1)
+    is_last = bi == n_blocks - 1
+    # first block always "active" even for empty input (raw block of size 0)
+    blk_active = jnp.logical_or(blk_active, bi == 0)
+
+    out_off = HDR + bi * (BLK + 3) * 0  # computed below
+    csize = jnp.where(blk_active, blk_size, 0)
+    out_sizes = jnp.where(blk_active, 3 + csize, 0)
+    out_off = HDR + jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                     jnp.cumsum(out_sizes)[:-1].astype(jnp.int32)])
+    total = HDR + jnp.sum(out_sizes)
+
+    pos = jnp.arange(out_cap, dtype=jnp.int32)
+    out = jnp.where(pos < HDR, hdr[jnp.clip(pos, 0, HDR - 1)], 0).astype(jnp.uint8)
+
+    # each output byte classifies itself against the block layout
+    key = jnp.where(blk_active, out_off, jnp.int32(2**30))
+    kblk = jnp.clip(jnp.searchsorted(key, pos, side="right").astype(jnp.int32) - 1,
+                    0, n_blocks_cap - 1)
+    r = pos - out_off[kblk]
+    bh = ((jnp.where(is_last[kblk], 1, 0))
+          | (0 << 1)                      # raw block
+          | (blk_size[kblk] << 3))
+    bh_byte = jnp.where(r == 0, bh & 0xFF,
+              jnp.where(r == 1, (bh >> 8) & 0xFF, (bh >> 16) & 0xFF))
+    data_byte = data[jnp.clip(blk_start[kblk] + (r - 3), 0, cap - 1)].astype(jnp.int32)
+    body = jnp.where(r < 3, bh_byte, data_byte)
+    out = jnp.where(jnp.logical_and(pos >= HDR, pos < total),
+                    body.astype(jnp.uint8), out)
+
+    too_big = total > out_cap
+    status = jnp.where(too_big, Status.ERROR_OUTPUT_BUFFER_TOO_SMALL, Status.SUCCESS)
+    return out, jnp.where(too_big, 0, total).astype(jnp.int32), status.astype(jnp.int32)
+
+
+def get_decompress_size(comp: jax.Array, comp_size: jax.Array) -> jax.Array:
+    """Frame content size when present (our encoder always writes 4-byte FCS)."""
+    cap = comp.shape[0]
+    gb = lambda o: comp[jnp.clip(o, 0, cap - 1)].astype(jnp.int64)
+    magic = (gb(0) | (gb(1) << 8) | (gb(2) << 16) | (gb(3) << 24))
+    fhd = gb(4).astype(jnp.int32)
+    fcs_flag = fhd >> 6
+    single_seg = (fhd >> 5) & 1
+    did_flag = fhd & 3
+    o = 5 + jnp.where(single_seg == 1, 0, 1)
+    o = o + jnp.where(did_flag == 0, 0,
+            jnp.where(did_flag == 1, 1, jnp.where(did_flag == 2, 2, 4)))
+    fcs1 = gb(o)
+    fcs2 = gb(o) | (gb(o + 1) << 8)
+    fcs4 = gb(o) | (gb(o + 1) << 8) | (gb(o + 2) << 16) | (gb(o + 3) << 24)
+    fcs = jnp.where(fcs_flag == 0, jnp.where(single_seg == 1, fcs1, -1),
+          jnp.where(fcs_flag == 1, fcs2 + 256, fcs4))
+    ok = jnp.logical_and(comp_size >= 6, magic == MAGIC)
+    return jnp.where(ok, fcs, 0).astype(jnp.int32)
+
+
+# -- batched (vmapped) entry points ---------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("opts", "out_cap"))
+def compress_batch(data: jax.Array, sizes: jax.Array, opts: ZstdOpts, out_cap: int):
+    return jax.vmap(lambda d, s: encode_chunk(d, s, opts, out_cap))(data, sizes)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def decompress_batch(comp: jax.Array, comp_sizes: jax.Array, out_cap: int):
+    return jax.vmap(lambda c, s: decode_chunk(c, s, out_cap))(comp, comp_sizes)
+
+
+def register(batched) -> None:
+    batched.register(batched.CodecSpec(
+        name="zstd",
+        compress_batch=compress_batch,
+        decompress_batch=decompress_batch,
+        max_compressed_chunk_size=max_compressed_chunk_size,
+        default_opts=DEFAULT_OPTS,
+        get_decompress_size=get_decompress_size,
+    ))

@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tpucomp.ops.parallel_lz import DUMP_SLOTS, dump_spread
+
 ALLOWED_BITS = (0, 1, 2, 4, 8, 16, 32, 64)
 
 
@@ -88,8 +90,9 @@ def pack(v: jax.Array, count: jax.Array, vmin: jax.Array, bits: jax.Array,
     vu = v.astype(jnp.uint64) & mask_le32
     contrib = ((vu.astype(jnp.uint32)) << shift).astype(jnp.uint32)
     contrib = jnp.where(valid, contrib, 0)
-    word_idx = jnp.where(valid, word_idx, cap_words)  # dump slot
-    words_small = jnp.zeros((cap_words + 1,), jnp.uint32).at[word_idx].add(contrib)
+    posi = jnp.arange(cap, dtype=jnp.int32)
+    word_idx = jnp.where(valid, word_idx, dump_spread(posi, cap_words))
+    words_small = jnp.zeros((cap_words + DUMP_SLOTS,), jnp.uint32).at[word_idx].add(contrib)
     words_small = words_small[:cap_words]
 
     # -- width 64: two interleaved 32-bit planes (== raw storage) --------------

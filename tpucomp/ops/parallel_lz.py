@@ -26,6 +26,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# Scatters that route masked-off lanes to a single overflow slot serialize on
+# TPU (thousands of colliding writes to one address).  Every masked scatter in
+# the codebase instead spreads its dead writes over DUMP_SLOTS consecutive
+# slots past the live region, keyed by lane index.
+DUMP_SLOTS = 512
+
+
+def dump_spread(pos: jax.Array, base) -> jax.Array:
+    """Overflow target for masked scatters: ``base + (pos & (DUMP_SLOTS-1))``.
+
+    The destination array must have ``DUMP_SLOTS`` extra slots past ``base``.
+    """
+    return base + (pos & (DUMP_SLOTS - 1))
+
 
 def suffix_run_length(pred: jax.Array) -> jax.Array:
     """For each i: number of consecutive True values in ``pred[i:]`` starting at i.
@@ -76,7 +90,7 @@ def wyllie_path(nxt: jax.Array, weight: jax.Array, num_rounds: int,
       off the chain are undefined.
     """
     n = nxt.shape[0]
-    dump = n  # overflow slot for masked scatters
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     nxt = jnp.clip(nxt, 0, n).astype(jnp.int32)
     # NB: initial carries are derived from the inputs (0*nxt) so that their
     # device-variance matches the loop outputs under shard_map (a plain
@@ -84,14 +98,15 @@ def wyllie_path(nxt: jax.Array, weight: jax.Array, num_rounds: int,
     zero_n = 0 * nxt
     acc = weight.astype(jnp.int32) + zero_n
 
-    zero_n1 = jnp.concatenate([zero_n, zero_n[:1]])
-    reach = (zero_n1 > 0).at[start].set(True)
-    rank = zero_n1
+    zero_ext = jnp.concatenate([zero_n, jnp.tile(zero_n[:1], DUMP_SLOTS)])
+    reach = (zero_ext > 0).at[start].set(True)
+    rank = zero_ext
 
     def body(_, state):
         nxt, acc, reach, rank = state
         # Extend the reached set by 2^k steps and scatter ranks to the new nodes.
-        targets = jnp.where(reach[:n], nxt, dump)
+        targets = jnp.where(reach[:n], nxt, dump_spread(pos, n))
+        targets = jnp.where(targets >= n, dump_spread(pos, n), targets)
         new_rank = rank.at[targets].max(rank[:n] + acc)
         new_reach = reach.at[targets].set(True)
         # Double the jump pointers.
@@ -161,6 +176,7 @@ def emit_lz_output(comp: jax.Array, reach: jax.Array, rank: jax.Array,
     """
     cap = comp.shape[0]
     pos32 = jnp.arange(cap, dtype=jnp.int32)
+    ND = DUMP_SLOTS
 
     # literals: each input byte finds its owning token (latest reached start <= c)
     own = segment_owner(jnp.where(reach, pos32, -1))
@@ -171,22 +187,23 @@ def emit_lz_output(comp: jax.Array, reach: jax.Array, rank: jax.Array,
     in_lit = jnp.logical_and(in_lit, reach[own_c])
     lit_out_pos = rank[own_c] + (pos32 - lit_start[own_c])
     tgt = jnp.where(jnp.logical_and(in_lit, lit_out_pos < out_cap),
-                    lit_out_pos, out_cap)
-    val = jnp.zeros((out_cap + 1,), jnp.int32).at[tgt].set(comp.astype(jnp.int32))[:out_cap]
-    known = jnp.zeros((out_cap + 1,), jnp.bool_).at[tgt].set(True)[:out_cap]
+                    lit_out_pos, dump_spread(pos32, out_cap))
+    val = jnp.zeros((out_cap + ND,), jnp.int32).at[tgt].set(comp.astype(jnp.int32))[:out_cap]
+    known = jnp.zeros((out_cap + ND,), jnp.bool_).at[tgt].set(True)[:out_cap]
 
     # matches: per-output-position copy pointers from the owning match segment
     opos = jnp.arange(out_cap, dtype=jnp.int32)
     is_match_tok = jnp.logical_and(reach, ml > 0)
     m_out_start = rank + ll
     m_tgt = jnp.where(jnp.logical_and(is_match_tok, m_out_start < out_cap),
-                      m_out_start, out_cap)
-    l_tgt = jnp.where(jnp.logical_and(reach, rank < out_cap), rank, out_cap)
-    match_mark = jnp.full((out_cap + 1,), -1, jnp.int32).at[m_tgt].max(m_out_start)[:out_cap]
-    lit_mark = jnp.full((out_cap + 1,), -1, jnp.int32).at[l_tgt].max(rank)[:out_cap]
+                      m_out_start, dump_spread(pos32, out_cap))
+    l_tgt = jnp.where(jnp.logical_and(reach, rank < out_cap), rank,
+                      dump_spread(pos32, out_cap))
+    match_mark = jnp.full((out_cap + ND,), -1, jnp.int32).at[m_tgt].max(m_out_start)[:out_cap]
+    lit_mark = jnp.full((out_cap + ND,), -1, jnp.int32).at[l_tgt].max(rank)[:out_cap]
     last_match = segment_owner(match_mark)
     last_lit = segment_owner(lit_mark)
-    off_at = jnp.zeros((out_cap + 1,), jnp.int32).at[m_tgt].set(offset)[:out_cap]
+    off_at = jnp.zeros((out_cap + ND,), jnp.int32).at[m_tgt].set(offset)[:out_cap]
     in_match = jnp.logical_and(last_match >= 0, last_match >= last_lit)
     src = opos - off_at[jnp.clip(last_match, 0, out_cap - 1)]
     ptr = jnp.where(jnp.logical_and(in_match, jnp.logical_not(known)),
