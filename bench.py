@@ -6,13 +6,20 @@ corpus in 64 KiB chunks — the reference's headline metric is LZ4 LLIF decompre
 GB/s (A100: 320.70 GB/s, ``doc/Benchmarks.md:95``; see BASELINE.md).
 ``vs_baseline`` is ours / reference (>1 = faster than the reference's A100).
 
-Protocol mirrors ``benchmark_template_chunked.cuh``: stage batches on device,
-warmup (excludes compile), verify bit-exact round trip once, then averaged timed
-iterations with ``block_until_ready`` fences.  The corpus is processed as a
-sequence of fixed-shape batch tiles (one compiled program, async-dispatched
-back-to-back — the analog of the reference's stream-pipelined launches).
+Environment-hardened protocol (this container's TPU is tunneled through a relay
+with two measured pathologies — see the axon-tpu-tunnel-quirks memory note):
+  1. after any device->host readback OR any sufficiently long remote compile,
+     every subsequent dispatch/execution runs ~3000x slower for the process; so
+  2. the headline decompress is compiled and measured FIRST (its compile is
+     short enough to usually stay in fast mode), the whole corpus is a single
+     ``lax.map`` dispatch, verification compares on-device and reads back one
+     scalar at the very end, and a flip-detector probe reports whether the
+     numbers were taken in fast or degraded mode.
 
-Extra per-codec lines go to stderr; stdout carries exactly the one JSON line.
+Decode inputs are produced host-side by liblz4 (standard LZ4 streams — also the
+stronger conformance statement); compress is measured afterwards and its number
+is marked degraded if the flip hit first.  On a sane TPU runtime the same
+script simply works and reports clean numbers for both.
 """
 from __future__ import annotations
 
@@ -35,101 +42,155 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--codec", default="lz4")
     ap.add_argument("--chunk-kb", type=int, default=64)
-    ap.add_argument("--batch-chunks", type=int, default=8,
-                    help="chunks per compiled tile")
-    ap.add_argument("--all", action="store_true", help="bench every codec (stderr)")
+    ap.add_argument("--batch-chunks", type=int, default=8)
+    ap.add_argument("--skip-compress", action="store_true")
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+    import jax.numpy as jnp
     import numpy as np
     from tpucomp import batched
-    from tpucomp.chunk import ChunkBatch
     from tpucomp.utils import synth
+    from tpucomp.interop import cpu as interop
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
     mb = args.mb or (4 if args.quick else 32)
-    iters = args.iters or (2 if args.quick else 5)
+    iters = args.iters or (3 if args.quick else 8)
     chunk = args.chunk_kb * 1024
     B = args.batch_chunks
+    fmt = args.codec
+    spec = batched._get(fmt)
+    opts = spec.default_opts
+    cap = spec.max_compressed_chunk_size(chunk, opts)
+
     corpus = synth.mixed_corpus(mb << 20, seed=42).tobytes()
-    cb = ChunkBatch.from_bytes(corpus, chunk_size=chunk)
-    n_tiles = cb.num_chunks // B
-    n_used = n_tiles * B
-    log(f"corpus: {mb} MiB, {n_used} chunks of {args.chunk_kb} KiB "
-        f"in {n_tiles} tiles of {B}")
+    chunks = [corpus[o:o + chunk] for o in range(0, len(corpus), chunk)]
+    nt = len(chunks) // B
+    n_used = nt * B
+    total_bytes = sum(len(c) for c in chunks[:n_used])
+    log(f"corpus: {mb} MiB, {n_used} chunks of {args.chunk_kb} KiB, "
+        f"{nt} tiles of {B}")
 
-    def bench_codec(fmt):
-        spec = batched._get(fmt)
-        opts = spec.default_opts
-        cap = spec.max_compressed_chunk_size(chunk, opts)
+    # flip-detector probe: a trivial compiled program whose dispatch time tells
+    # us whether the tunnel is in fast or degraded mode
+    probe_x = jnp.ones((128, 128), jnp.float32)
+    probe_f = jax.jit(lambda x: (x * 2 + 1).sum())
+    jax.block_until_ready(probe_f(probe_x))
 
-        tiles = [(jax.device_put(cb.data[i * B:(i + 1) * B]),
-                  jax.device_put(cb.sizes[i * B:(i + 1) * B]))
-                 for i in range(n_tiles)]
-
-        def compress_all():
-            return [spec.compress_batch(d, s, opts, cap) for d, s in tiles]
-
+    def probe_ms():
         t0 = time.time()
-        comp_res = compress_all()
-        jax.block_until_ready(comp_res)
-        log(f"[{fmt}] compress warmup+compile {time.time()-t0:.1f}s")
-        for _, _, cst in comp_res:
-            assert int(np.asarray(cst).max()) == 0, "compress status != SUCCESS"
-        comp_tiles = [(c, sz) for c, sz, _ in comp_res]
+        for _ in range(3):
+            r = probe_f(probe_x)
+        jax.block_until_ready(r)
+        return (time.time() - t0) / 3 * 1e3
 
-        def decompress_all():
-            return [spec.decompress_batch(c, sz, chunk) for c, sz in comp_tiles]
+    # ---------------- stage host-compressed streams for the decode measure ----------
+    if fmt == "lz4" and interop.available().get("lz4"):
+        comp_host = [interop.lz4_compress(c) for c in chunks[:n_used]]
+    elif fmt == "deflate":
+        comp_host = [interop.deflate_compress(c) for c in chunks[:n_used]]
+    elif fmt == "snappy" and interop.available().get("snappy"):
+        comp_host = [interop.snappy_compress(c) for c in chunks[:n_used]]
+    else:
+        comp_host = None  # formats without a CPU oracle use our own compress
 
+    orig = np.zeros((nt, B, chunk), np.uint8)
+    orig_sz = np.zeros((nt, B), np.int32)
+    for i, c in enumerate(chunks[:n_used]):
+        orig[i // B, i % B, :len(c)] = np.frombuffer(c, np.uint8)
+        orig_sz[i // B, i % B] = len(c)
+    datas = jax.device_put(jnp.asarray(orig))
+    sizesd = jax.device_put(jnp.asarray(orig_sz))
+
+    comp_bytes_host = None
+    if comp_host is not None:
+        carr = np.zeros((nt, B, cap), np.uint8)
+        szarr = np.zeros((nt, B), np.int32)
+        for i, c in enumerate(comp_host):
+            carr[i // B, i % B, :len(c)] = np.frombuffer(c, np.uint8)
+            szarr[i // B, i % B] = len(c)
+        comp_d = jax.device_put(jnp.asarray(carr))
+        csz_d = jax.device_put(jnp.asarray(szarr))
+        comp_bytes_host = sum(len(c) for c in comp_host)
+
+    @jax.jit
+    def dec_fn(c, z):
+        return jax.lax.map(lambda t: spec.decompress_batch(t[0], t[1], chunk),
+                           (c, z))
+
+    @jax.jit
+    def comp_fn(d, s):
+        return jax.lax.map(
+            lambda t: spec.compress_batch(t[0], t[1], opts, cap), (d, s))
+
+    def timed(fn, *fargs):
+        best = float("inf")
+        out = None
+        for _ in range(iters):
+            t0 = time.time()
+            out = fn(*fargs)
+            jax.block_until_ready(out)
+            best = min(best, time.time() - t0)
+        return total_bytes / best / 1e9, out
+
+    # ---------------- decode first (the headline) ------------------------------------
+    pre = probe_ms()
+    decomp_gbs = None
+    dec_out = None
+    if comp_host is not None:
         t0 = time.time()
-        dec_res = decompress_all()
-        jax.block_until_ready(dec_res)
-        log(f"[{fmt}] decompress warmup+compile {time.time()-t0:.1f}s")
+        jax.block_until_ready(dec_fn(comp_d, csz_d))
+        log(f"[{fmt}] decompress compile+warm {time.time()-t0:.1f}s")
+        mode = probe_ms()
+        decomp_gbs, dec_out = timed(dec_fn, comp_d, csz_d)
+        log(f"[{fmt}] decompress {decomp_gbs:.2f} GB/s "
+            f"(dispatch mode: {'FAST' if mode < 50 else 'DEGRADED'}; "
+            f"probe {pre:.2f}->{mode:.2f} ms)")
 
-        # verification (once): statuses, sizes, bytes
-        total_bytes = 0
-        comp_bytes = 0
-        for i, (dec, dsz, dst) in enumerate(dec_res):
-            assert int(np.asarray(dst).max()) == 0, "decompress status != SUCCESS"
-            d0, s0 = tiles[i]
-            assert np.array_equal(np.asarray(dsz), np.asarray(s0)), "size mismatch"
-            assert np.array_equal(np.asarray(dec), np.asarray(d0)), "not bit-exact"
-            total_bytes += int(np.asarray(s0).sum())
-            comp_bytes += int(np.asarray(comp_tiles[i][1]).sum())
-        ratio = total_bytes / max(comp_bytes, 1)
+    # ---------------- compress (and self-decode when no oracle) ----------------------
+    comp_gbs = None
+    csz = None
+    if not args.skip_compress:
+        t0 = time.time()
+        comp, csz, cst = comp_fn(datas, sizesd)
+        jax.block_until_ready(comp)
+        log(f"[{fmt}] compress compile+warm {time.time()-t0:.1f}s")
+        mode_c = probe_ms()
+        comp_gbs, _ = timed(comp_fn, datas, sizesd)
+        log(f"[{fmt}] compress {comp_gbs:.2f} GB/s "
+            f"(dispatch mode: {'FAST' if mode_c < 50 else 'DEGRADED'})")
+        if decomp_gbs is None:
+            t0 = time.time()
+            jax.block_until_ready(dec_fn(comp, csz))
+            log(f"[{fmt}] decompress compile+warm {time.time()-t0:.1f}s")
+            decomp_gbs, dec_out = timed(dec_fn, comp, csz)
+            mode = probe_ms()
+            log(f"[{fmt}] decompress {decomp_gbs:.2f} GB/s (self-compressed; "
+                f"mode {'FAST' if mode < 50 else 'DEGRADED'})")
 
-        def timed(fn):
-            best = float("inf")
-            for _ in range(iters):
-                t0 = time.time()
-                jax.block_until_ready(fn())
-                best = min(best, time.time() - t0)
-            return total_bytes / best / 1e9
+    # ---------------- verification (on-device compare, scalar readbacks) -------------
+    dec, dsz, dst = dec_out
 
-        comp_gbs = timed(compress_all)
-        decomp_gbs = timed(decompress_all)
-        log(f"[{fmt}] ratio {ratio:.2f}  compress {comp_gbs:.3f} GB/s  "
-            f"decompress {decomp_gbs:.3f} GB/s")
-        return ratio, comp_gbs, decomp_gbs
+    @jax.jit
+    def verify(dec, dsz, dst):
+        ok = jnp.all(dst == 0)
+        ok = jnp.logical_and(ok, jnp.all(dsz == sizesd))
+        ok = jnp.logical_and(ok, jnp.all(dec == datas))
+        return ok
 
-    if args.all:
-        for fmt in batched.formats():
-            if batched._get(fmt).decompression_only:
-                continue
-            try:
-                bench_codec(fmt)
-            except Exception as e:  # noqa: BLE001
-                log(f"[{fmt}] FAILED: {e}")
-
-    ratio, comp_gbs, decomp_gbs = bench_codec(args.codec)
+    ok = bool(verify(dec, dsz, dst))
+    assert ok, f"[{fmt}] round trip NOT bit-exact"
+    ratio = None
+    if comp_bytes_host is not None:
+        ratio = total_bytes / comp_bytes_host
+    elif csz is not None:
+        ratio = total_bytes / int(jnp.sum(csz))
+    log(f"[{fmt}] verified bit-exact" + (f"; ratio {ratio:.2f}" if ratio else ""))
 
     print(json.dumps({
-        "metric": f"{args.codec}_decompress_throughput",
+        "metric": f"{fmt}_decompress_throughput",
         "value": round(decomp_gbs, 4),
         "unit": "GB/s",
         "vs_baseline": round(decomp_gbs / A100_LZ4_DECOMP_GBS, 4),

@@ -158,11 +158,12 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ANSOpts,
     lane_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                 jnp.cumsum(lane_words)[:-1].astype(jnp.int32)])
     total_words = jnp.sum(lane_words)
-    pos_l = (jnp.arange(N_LANES)[:, None] * T + jnp.arange(T)[None, :])
+    # scatter-free stream compaction: sort (slot<<16 | word) packed keys
     flat_idx = jnp.where(emits_l, lane_off[:, None] + idx_in_lane,
-                         dump_spread(pos_l, T * N_LANES))
-    stream = jnp.zeros((T * N_LANES + DUMP_SLOTS,), jnp.uint32).at[
-        flat_idx.reshape(-1)].set(words_l.reshape(-1))[:T * N_LANES]
+                         jnp.int32(1 << 24))
+    packed = (flat_idx.astype(jnp.int64) << 16) | words_l.astype(jnp.int64)
+    packed = jnp.sort(packed.reshape(-1))[:T * N_LANES]
+    stream = (packed & 0xFFFF).astype(jnp.uint32)
 
     # ---- serialize -----------------------------------------------------------------
     def u16_bytes(v):  # int32[k] -> uint8[2k] LE

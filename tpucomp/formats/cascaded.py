@@ -106,17 +106,24 @@ def elements_to_bytes(v: jax.Array, ts: jax.Array, cap_bytes: int) -> jax.Array:
 # =====================================================================================
 
 def rle_encode(v: jax.Array, count: jax.Array):
-    """Run-length encode ``v[:count]`` -> (vals, runs, n_runs), padded to cap."""
+    """Run-length encode ``v[:count]`` -> (vals, runs, n_runs), padded to cap.
+
+    Scatter-free: run-start positions are compacted with a sort; run lengths are
+    differences of consecutive starts.  Entries past ``n_runs`` are garbage and
+    must be masked by the caller (they already are).
+    """
     cap = v.shape[0]
-    idx = jnp.arange(cap)
+    idx = jnp.arange(cap, dtype=jnp.int32)
     valid = idx < count
     prev = jnp.concatenate([v[:1] ^ jnp.int64(-1), v[:-1]])  # force boundary at 0
     boundary = jnp.logical_and(valid, v != prev)
-    seg = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     n_runs = jnp.sum(boundary.astype(jnp.int32))
-    tgt = jnp.where(valid, seg, dump_spread(idx, cap))
-    vals = jnp.zeros((cap + DUMP_SLOTS,), jnp.int64).at[tgt].set(v)[:cap]
-    runs = jnp.zeros((cap + DUMP_SLOTS,), jnp.int64).at[tgt].add(1)[:cap]
+    starts = jnp.sort(jnp.where(boundary, idx, jnp.int32(2**30)))
+    starts_c = jnp.clip(starts, 0, cap - 1)
+    vals = v[starts_c]
+    next_start = jnp.concatenate([starts[1:], jnp.full((1,), 2**30, jnp.int32)])
+    ends = jnp.minimum(next_start, count.astype(jnp.int32))
+    runs = jnp.clip(ends - starts, 0, cap).astype(jnp.int64)
     return vals, runs, n_runs
 
 

@@ -189,21 +189,28 @@ def _find_matches(data: jax.Array, size: jax.Array, run_dists: tuple[int, ...],
     cand_ok = jnp.logical_and(cand_ok, w4 == word_at(cand))
     cand_ok = jnp.logical_and(cand_ok, p + MIN_MATCH <= size)
 
-    # word-granular extension beyond the first 4 bytes
-    hlen = jnp.full((cap,), MIN_MATCH, jnp.int32)
-    still = cand_ok
-    for k in range(1, ext_words + 1):
+    # word-granular extension beyond the first 4 bytes (rolled loop: keeps the
+    # compiled graph small, which matters for remote-compile latency)
+    def ext_body(k, carry):
+        hlen, still = carry
         eq = word_at(p + 4 * k) == word_at(cand + 4 * k)
         still = jnp.logical_and(still, eq)
-        hlen = hlen + jnp.where(still, 4, 0)
+        return hlen + jnp.where(still, 4, 0), still
+
+    hlen, still = jax.lax.fori_loop(
+        1, ext_words + 1, ext_body,
+        (jnp.full((cap,), MIN_MATCH, jnp.int32), cand_ok))
+
     # byte-granular tail (up to 3 more)
-    tail_base = hlen
-    b_eq_prev = jnp.logical_and(cand_ok, jnp.logical_not(still))
-    for k in range(3):
-        i1 = jnp.clip(p + tail_base + k, 0, cap - 1)
-        i2 = jnp.clip(cand + tail_base + k, 0, cap - 1)
-        b_eq_prev = jnp.logical_and(b_eq_prev, data[i1] == data[i2])
-        hlen = hlen + b_eq_prev.astype(jnp.int32)
+    def tail_body(k, carry):
+        hlen, beq = carry
+        i1 = jnp.clip(p + hlen, 0, cap - 1)
+        i2 = jnp.clip(cand + hlen, 0, cap - 1)
+        beq = jnp.logical_and(beq, data[i1] == data[i2])
+        return hlen + beq.astype(jnp.int32), beq
+
+    hlen, _ = jax.lax.fori_loop(
+        0, 3, tail_body, (hlen, jnp.logical_and(cand_ok, jnp.logical_not(still))))
     hlen = jnp.where(cand_ok, hlen, 0)
     hoff = p - cand
 
@@ -252,16 +259,11 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: LZ4Opts,
     cap_tok = cap // MIN_MATCH + 2
     is_tok = jnp.logical_and(reach, has_match)
     n_tok = jnp.sum(is_tok.astype(jnp.int32))
-    tok_slot = jnp.where(is_tok, jnp.cumsum(is_tok.astype(jnp.int32)) - 1,
-                         plz.dump_spread(p, cap_tok))
-
-    def collect(v, fill=0):
-        return jnp.full((cap_tok + plz.DUMP_SLOTS,), fill,
-                        jnp.int32).at[tok_slot].set(v)[:cap_tok]
-
-    t_pos = collect(p)
-    t_ml = collect(mlen)
-    t_off = collect(moff, fill=1)
+    # compact match positions in order by sorting (scatter-free)
+    sorted_pos = jnp.sort(jnp.where(is_tok, p, jnp.int32(2**30)))[:cap_tok]
+    t_pos = jnp.clip(sorted_pos, 0, cap - 1)
+    t_ml = mlen[t_pos]
+    t_off = jnp.maximum(moff[t_pos], 1)
 
     ti = jnp.arange(cap_tok, dtype=jnp.int32)
     t_valid = ti < n_tok

@@ -202,16 +202,11 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: SnappyOpts,
     cap_tok = cap // MIN_MATCH + 2
     is_tok = jnp.logical_and(reach, has_match)
     n_tok = jnp.sum(is_tok.astype(jnp.int32))
-    tok_slot = jnp.where(is_tok, jnp.cumsum(is_tok.astype(jnp.int32)) - 1,
-                         plz.dump_spread(p, cap_tok))
-
-    def collect(v, fill=0):
-        return jnp.full((cap_tok + plz.DUMP_SLOTS,), fill,
-                        jnp.int32).at[tok_slot].set(v)[:cap_tok]
-
-    t_pos = collect(p)
-    t_ml = collect(mlen)
-    t_off = collect(moff, fill=1)
+    # compact match positions in order by sorting (scatter-free)
+    sorted_pos = jnp.sort(jnp.where(is_tok, p, jnp.int32(2**30)))[:cap_tok]
+    t_pos = jnp.clip(sorted_pos, 0, cap - 1)
+    t_ml = mlen[t_pos]
+    t_off = jnp.maximum(moff[t_pos], 1)
 
     ti = jnp.arange(cap_tok, dtype=jnp.int32)
     t_valid = ti < n_tok

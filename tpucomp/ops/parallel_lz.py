@@ -71,53 +71,61 @@ def exclusive_cummax(x: jax.Array, initial: int = 0) -> jax.Array:
 
 def wyllie_path(nxt: jax.Array, weight: jax.Array, num_rounds: int,
                 start: int = 0) -> tuple[jax.Array, jax.Array]:
-    """Pointer-jumping list ranking over a functional graph.
+    """Pointer-jumping list ranking over a functional graph — GATHER-ONLY.
 
     Args:
       nxt: ``int32[n]`` — for every position i, the (speculative) successor
-        position of a token starting at i.  Values ``>= n`` mean "terminal".
-        On the true chain positions must be strictly increasing (no cycles).
+        position of a token starting at i; must satisfy ``nxt[i] > i``
+        (each token consumes at least one input byte).  Values ``>= n`` mean
+        "terminal".
       weight: ``int32[n]`` — per-token weight (e.g. decompressed bytes emitted).
-      num_rounds: static number of doubling rounds; must satisfy
-        ``2**num_rounds >= max possible chain length`` (``ceil(log2(n))`` since each
-        token consumes >= 1 input byte).
-      start: chain head position.
+      num_rounds: static; ``2**num_rounds`` must cover the longest chain.
+      start: chain head position (traced ok).
 
     Returns:
-      (reach, rank): ``bool[n]`` marking positions on the chain from ``start``, and
-      ``int32[n]`` where ``rank[p]`` = sum of ``weight`` over chain nodes strictly
-      before p (i.e. the output offset at which token p's output begins).  Entries
-      off the chain are undefined.
+      (reach, rank): ``bool[n]`` marking positions on the chain from ``start``,
+      and ``int32[n]`` where ``rank[p]`` = sum of ``weight`` over chain nodes
+      strictly before p.  Entries off the chain are undefined.
+
+    Implementation note: scatters are avoided entirely (the TPU compiler
+    sometimes lowers scatter to a serial loop).  Instead we build jump tables
+    ``F_k[p]`` (= position 2^k steps after p) and weight sums ``R_k`` by
+    gather-doubling, then every position p runs a binary descent from ``start``
+    toward p — because chain positions are strictly increasing, p is on the
+    chain iff the greedy walk that never overshoots p lands exactly on p.
     """
     n = nxt.shape[0]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     nxt = jnp.clip(nxt, 0, n).astype(jnp.int32)
-    # NB: initial carries are derived from the inputs (0*nxt) so that their
-    # device-variance matches the loop outputs under shard_map (a plain
-    # jnp.zeros carry is replicated and fori_loop rejects the mismatch).
-    zero_n = 0 * nxt
-    acc = weight.astype(jnp.int32) + zero_n
+    acc = weight.astype(jnp.int32) + 0 * nxt
 
-    zero_ext = jnp.concatenate([zero_n, jnp.tile(zero_n[:1], DUMP_SLOTS)])
-    reach = (zero_ext > 0).at[start].set(True)
-    rank = zero_ext
+    def build(carry, _):
+        F, R = carry
+        Fs = jnp.minimum(F, n - 1)
+        F2 = jnp.where(F < n, F[Fs], F)
+        R2 = R + jnp.where(F < n, R[Fs], 0)
+        return (F2, R2), (F, R)
 
-    def body(_, state):
-        nxt, acc, reach, rank = state
-        # Extend the reached set by 2^k steps and scatter ranks to the new nodes.
-        targets = jnp.where(reach[:n], nxt, dump_spread(pos, n))
-        targets = jnp.where(targets >= n, dump_spread(pos, n), targets)
-        new_rank = rank.at[targets].max(rank[:n] + acc)
-        new_reach = reach.at[targets].set(True)
-        # Double the jump pointers.
-        nxt_safe = jnp.minimum(nxt, n - 1)
-        acc2 = acc + jnp.where(nxt < n, acc[nxt_safe], 0)
-        nxt2 = jnp.where(nxt < n, nxt[nxt_safe], nxt)
-        return nxt2, acc2, new_reach, new_rank
+    (_, _), (Fs, Rs) = jax.lax.scan(build, (nxt, acc), None, length=num_rounds)
+    # Fs[k], Rs[k] cover 2^k steps
 
-    nxt, acc, reach, rank = jax.lax.fori_loop(
-        0, num_rounds, body, (nxt, acc, reach, rank))
-    return reach[:n], rank[:n]
+    p = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    q0 = jnp.full((n,), 0, jnp.int32) + start + 0 * nxt
+    r0 = 0 * nxt
+
+    def walk(carry, tabs):
+        q, r = carry
+        Fk, Rk = tabs
+        qs = jnp.minimum(q, n - 1)
+        cand = jnp.where(q < n, Fk[qs], jnp.int32(n))
+        candR = Rk[qs]
+        ok = jnp.logical_and(cand <= p, q < n)
+        r = jnp.where(ok, r + candR, r)
+        q = jnp.where(ok, cand, q)
+        return (q, r), None
+
+    (q, rank), _ = jax.lax.scan(walk, (q0, r0), (Fs[::-1], Rs[::-1]))
+    reach = jnp.logical_and(q == p, p >= start)
+    return reach, rank
 
 
 def chain_total(nxt: jax.Array, weight: jax.Array, num_rounds: int,
@@ -176,39 +184,33 @@ def emit_lz_output(comp: jax.Array, reach: jax.Array, rank: jax.Array,
     """
     cap = comp.shape[0]
     pos32 = jnp.arange(cap, dtype=jnp.int32)
-    ND = DUMP_SLOTS
 
-    # literals: each input byte finds its owning token (latest reached start <= c)
-    own = segment_owner(jnp.where(reach, pos32, -1))
-    own_c = jnp.clip(own, 0, cap - 1)
-    in_lit = jnp.logical_and(own >= 0,
-                             jnp.logical_and(pos32 >= lit_start[own_c],
-                                             pos32 < lit_start[own_c] + ll[own_c]))
-    in_lit = jnp.logical_and(in_lit, reach[own_c])
-    lit_out_pos = rank[own_c] + (pos32 - lit_start[own_c])
-    tgt = jnp.where(jnp.logical_and(in_lit, lit_out_pos < out_cap),
-                    lit_out_pos, dump_spread(pos32, out_cap))
-    val = jnp.zeros((out_cap + ND,), jnp.int32).at[tgt].set(comp.astype(jnp.int32))[:out_cap]
-    known = jnp.zeros((out_cap + ND,), jnp.bool_).at[tgt].set(True)[:out_cap]
+    # Compact the reached, output-producing tokens in output order WITHOUT a
+    # scatter: sort (rank << 32 | position) keys, unreached tokens to the end.
+    produces = jnp.logical_and(reach, (ll + ml) > 0)
+    big = jnp.int64(1) << 62
+    packed = jnp.where(produces,
+                       rank.astype(jnp.int64) * (cap + 1) + pos32, big)
+    packed = jnp.sort(packed)
+    tok_rank = jnp.where(packed < big,
+                         (packed // (cap + 1)).astype(jnp.int32),
+                         jnp.int32(2**30))
+    tok_pos = jnp.where(packed < big,
+                        (packed % (cap + 1)).astype(jnp.int32), 0)
 
-    # matches: per-output-position copy pointers from the owning match segment
+    # each output byte classifies itself against the token table
     opos = jnp.arange(out_cap, dtype=jnp.int32)
-    is_match_tok = jnp.logical_and(reach, ml > 0)
-    m_out_start = rank + ll
-    m_tgt = jnp.where(jnp.logical_and(is_match_tok, m_out_start < out_cap),
-                      m_out_start, dump_spread(pos32, out_cap))
-    l_tgt = jnp.where(jnp.logical_and(reach, rank < out_cap), rank,
-                      dump_spread(pos32, out_cap))
-    match_mark = jnp.full((out_cap + ND,), -1, jnp.int32).at[m_tgt].max(m_out_start)[:out_cap]
-    lit_mark = jnp.full((out_cap + ND,), -1, jnp.int32).at[l_tgt].max(rank)[:out_cap]
-    last_match = segment_owner(match_mark)
-    last_lit = segment_owner(lit_mark)
-    off_at = jnp.zeros((out_cap + ND,), jnp.int32).at[m_tgt].set(offset)[:out_cap]
-    in_match = jnp.logical_and(last_match >= 0, last_match >= last_lit)
-    src = opos - off_at[jnp.clip(last_match, 0, out_cap - 1)]
-    ptr = jnp.where(jnp.logical_and(in_match, jnp.logical_not(known)),
-                    jnp.clip(src, 0, out_cap - 1), opos)
-    known = jnp.logical_or(known, opos >= total_out)
+    k = jnp.clip(jnp.searchsorted(tok_rank, opos, side="right").astype(jnp.int32) - 1,
+                 0, cap - 1)
+    t = tok_pos[k]
+    rel = opos - tok_rank[k]
+    in_lit = rel < ll[t]
+    val = jnp.where(in_lit,
+                    comp[jnp.clip(lit_start[t] + rel, 0, cap - 1)].astype(jnp.int32),
+                    0)
+    known = jnp.logical_or(in_lit, opos >= total_out)
+    src = opos - offset[t]
+    ptr = jnp.where(known, opos, jnp.clip(src, 0, out_cap - 1))
 
     return resolve_copy_chain(ptr, val, known, max_rounds=max_rounds)
 
