@@ -478,9 +478,14 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: DeflateOpts,
     cap = data.shape[0]
     size = size.astype(jnp.int32)
 
-    mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8))
-    mlen = jnp.minimum(mlen, 258)        # deflate max match length
-    mlen = jnp.where(moff > 32768, 0, mlen)  # deflate max distance
+    if opts.algo == 2:
+        # entropy-only mode (the GDeflate algo-2 ladder): no LZ stage
+        mlen = jnp.zeros((cap,), jnp.int32)
+        moff = jnp.ones((cap,), jnp.int32)
+    else:
+        mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8))
+        mlen = jnp.minimum(mlen, 258)        # deflate max match length
+        mlen = jnp.where(moff > 32768, 0, mlen)  # deflate max distance
     p = jnp.arange(cap, dtype=jnp.int32)
     has_match = mlen >= 4          # use >=4 (deflate allows 3; quality tradeoff)
     nxt = jnp.where(has_match, p + mlen, p + 1)

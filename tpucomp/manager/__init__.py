@@ -89,6 +89,11 @@ def _opts_to_blob(fmt: str, opts: Any) -> bytes:
         blob[1] = opts.num_rles
         blob[2] = opts.num_deltas
         blob[3] = int(opts.use_bp)
+    elif fmt in ("deflate", "gdeflate"):
+        blob[0] = opts.algo
+    elif fmt == "bitcomp":
+        blob[0] = opts.algorithm_type
+        blob[1] = int(opts.data_type)
     return bytes(blob)
 
 
@@ -100,6 +105,16 @@ def _opts_from_blob(fmt: str, blob: bytes) -> Any:
         from tpucomp.formats.cascaded import CascadedOpts
         return CascadedOpts(type=ElementType(blob[0]), num_rles=blob[1],
                             num_deltas=blob[2], use_bp=bool(blob[3]))
+    if fmt == "deflate":
+        from tpucomp.formats.deflate import DeflateOpts
+        return DeflateOpts(algo=blob[0])
+    if fmt == "gdeflate":
+        from tpucomp.formats.gdeflate import GdeflateOpts
+        return GdeflateOpts(algo=blob[0])
+    if fmt == "bitcomp":
+        from tpucomp.formats.bitcomp import BitcompOpts
+        return BitcompOpts(algorithm_type=blob[0],
+                           data_type=ElementType(blob[1]))
     return _batched._get(fmt).default_opts
 
 
