@@ -55,8 +55,9 @@ def main() -> None:
     from tpucomp.interop import cpu as interop
 
     dev = jax.devices()[0]
-    log(f"device: {dev} ({dev.platform})")
-    if dev.platform == "axon" and not args.with_compress:
+    on_axon = "axon" in (jax.config.jax_platforms or "")
+    log(f"device: {dev} ({dev.platform}{', axon tunnel' if on_axon else ''})")
+    if on_axon and not args.with_compress:
         # the tunnel's remote compile of the encoder takes 10+ minutes and
         # degrades the session; default to the decompress headline only here
         args.skip_compress = True
@@ -165,27 +166,23 @@ def main() -> None:
     decomp_gbs = None
     dec_out = None
     if comp_host is not None:
-        t0 = time.time()
-        jax.block_until_ready(dec_fn(comp_d, csz_d))
-        log(f"[{fmt}] decompress compile+warm {time.time()-t0:.1f}s")
-        t0 = time.time()
-        jax.block_until_ready(dec_loop(comp_d, csz_d, jnp.int32(1)))
-        log(f"[{fmt}] decompress loop compile+warm {time.time()-t0:.1f}s")
-
-        # readback-terminated two-point slope (see module docstring)
-        KN = max(iters, 3)
+        # compile + TRULY synchronized warmup: the readback drains every queued
+        # execution, so the timed sample below starts from an idle device
         t0 = time.time()
         chk1 = int(dec_loop(comp_d, csz_d, jnp.int32(1)))
-        t1 = time.time() - t0
+        log(f"[{fmt}] decompress compile+first-run(synced) {time.time()-t0:.1f}s")
+
+        # one readback-terminated sample of K chained decodes; reported number
+        # is a LOWER bound (includes dispatch+readback overhead once)
+        KN = max(iters * 2, 8)
         t0 = time.time()
-        chk2 = int(dec_loop(comp_d, csz_d, jnp.int32(1 + KN)))
-        t2 = time.time() - t0
-        slope = max((t2 - t1) / KN, 1e-9)
-        decomp_gbs = total_bytes / slope / 1e9
+        chk2 = int(dec_loop(comp_d, csz_d, jnp.int32(KN)))
+        t = time.time() - t0
+        decomp_gbs = KN * total_bytes / t / 1e9
         dec_out = dec_fn(comp_d, csz_d)
-        log(f"[{fmt}] decompress {decomp_gbs:.2f} GB/s "
-            f"(slope {slope*1e3:.2f} ms/iter over {KN}; fixed overhead "
-            f"{t1 - slope:.2f}s; checksums {chk1}/{chk2})")
+        log(f"[{fmt}] decompress {decomp_gbs:.3f} GB/s "
+            f"({KN} chained iterations in {t:.2f}s, readback-terminated; "
+            f"checksums {chk1}/{chk2})")
 
     # ---------------- compress (and self-decode when no oracle) ----------------------
     comp_gbs = None
