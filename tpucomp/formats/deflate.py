@@ -430,7 +430,87 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
 
 
 # =====================================================================================
-# encode (fixed-Huffman blocks)
+# encode — dynamic-Huffman length construction (vectorized)
+# =====================================================================================
+
+def _huff_lengths(freq: jax.Array, max_len: int):
+    """Near-optimal length-limited code lengths from symbol frequencies.
+
+    Vectorized alternative to package-merge: start from rounded ``-log2(p)``
+    clamped to [1, max_len], then fix the Kraft sum to exactly 1 with a bounded
+    greedy loop (lengthen the cheapest symbols while oversubscribed, shorten
+    the most frequent while undersubscribed).  Returns (lengths, ok); callers
+    fall back to the fixed tables when ``ok`` is False (never happens for
+    well-formed histograms, but guarantees a valid stream regardless).
+    """
+    n = freq.shape[0]
+    unit = jnp.int32(1) << max_len
+    total = jnp.maximum(jnp.sum(freq), 1)
+    present = freq > 0
+    n_present = jnp.sum(present.astype(jnp.int32))
+
+    # initial guess: ceil(-log2(p)) via bit-length of total/freq
+    ratio = total // jnp.maximum(freq, 1)
+    bl = jnp.zeros((n,), jnp.int32)
+    for k in range(31):
+        bl = bl + ((ratio >> k) > 0).astype(jnp.int32)
+    lens = jnp.clip(bl, 1, max_len)
+    lens = jnp.where(present, lens, 0)
+
+    def weight(lens):
+        return jnp.where(lens > 0, unit >> jnp.clip(lens, 1, max_len), 0)
+
+    def body(_, carry):
+        lens, = carry
+        K = jnp.sum(weight(lens))
+        over = K > unit
+        under = K < unit
+        deficit = unit - K
+        # lengthen: cheapest (lowest-freq) symbol with room to grow
+        cost = jnp.where(jnp.logical_and(present, lens < max_len), freq,
+                         jnp.int32(2**30))
+        s_inc = jnp.argmin(cost)
+        # shorten: most frequent symbol whose halved length still fits deficit
+        gain = weight(lens)  # shortening adds exactly its current weight
+        can_short = jnp.logical_and(jnp.logical_and(present, lens > 1),
+                                    gain <= deficit)
+        val = jnp.where(can_short, freq, -1)
+        s_dec = jnp.argmax(val)
+        can_dec = val[s_dec] > 0
+        lens = jnp.where(over, lens.at[s_inc].add(1),
+                jnp.where(jnp.logical_and(under, can_dec),
+                          lens.at[s_dec].add(-1), lens))
+        return (lens,)
+
+    (lens,) = jax.lax.fori_loop(0, 4 * max_len + 32, body, (lens,))
+    K = jnp.sum(weight(lens))
+    ok = jnp.logical_or(K == unit, n_present <= 1)
+    # single-symbol alphabet: give it a 1-bit code (decoders accept it)
+    lens = jnp.where(jnp.logical_and(n_present == 1, present), 1, lens)
+    return lens, ok
+
+
+def _assign_codes(lens: jax.Array, max_len: int):
+    """Canonical MSB-first codes from lengths (RFC 1951 3.2.2), vectorized."""
+    n = lens.shape[0]
+    count = jnp.zeros((max_len + 1,), jnp.int32).at[
+        jnp.where(lens > 0, jnp.clip(lens, 0, max_len), 0)].add(
+        (lens > 0).astype(jnp.int32))
+    first = jnp.zeros((max_len + 1,), jnp.int32)
+    code = jnp.int32(0)
+    for l in range(1, max_len + 1):
+        code = (code + count[l - 1]) << 1
+        first = first.at[l].set(code)
+    # rank within length
+    rank = jnp.zeros((n,), jnp.int32)
+    for l in range(1, max_len + 1):
+        is_l = (lens == l).astype(jnp.int32)
+        rank = rank + jnp.where(lens == l, jnp.cumsum(is_l) - 1, 0)
+    return first[jnp.clip(lens, 0, max_len)] + rank
+
+
+# =====================================================================================
+# encode (fixed- and dynamic-Huffman blocks)
 # =====================================================================================
 
 def _fixed_lit_code(sym):
@@ -473,7 +553,13 @@ def _dist_to_code(d):
 
 def encode_chunk(data: jax.Array, size: jax.Array, opts: DeflateOpts,
                  out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Encode one chunk as a single fixed-Huffman deflate block."""
+    """Encode one chunk as a single deflate block.
+
+    algo 0: fixed-Huffman (fastest).  algo 1: dynamic-Huffman (per-chunk
+    adaptive tables; falls back to fixed if the vectorized length construction
+    cannot reach an exact Kraft sum).  algo 2: entropy-only (no LZ matches —
+    the GDeflate ladder semantics).
+    """
     from tpucomp.formats import lz4 as _lz4
     cap = data.shape[0]
     size = size.astype(jnp.int32)
@@ -486,37 +572,116 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: DeflateOpts,
         mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8))
         mlen = jnp.minimum(mlen, 258)        # deflate max match length
         mlen = jnp.where(moff > 32768, 0, mlen)  # deflate max distance
+
+    # ---- parallel greedy parse -----------------------------------------------------
     p = jnp.arange(cap, dtype=jnp.int32)
-    has_match = mlen >= 4          # use >=4 (deflate allows 3; quality tradeoff)
+    has_match = mlen >= 4
     nxt = jnp.where(has_match, p + mlen, p + 1)
     nxt = jnp.where(p < size, nxt, cap)
     reach, _ = plz.wyllie_path(nxt, jnp.zeros((cap,), jnp.int32),
                                num_rounds=_ceil_log2(cap) + 1)
     reach = jnp.logical_and(reach, p < size)
-
-    # per reached position: emitted element = literal or match
     is_lit = jnp.logical_and(reach, jnp.logical_not(has_match))
     is_match = jnp.logical_and(reach, has_match)
 
-    lit_code, lit_n = _fixed_lit_code(data.astype(jnp.int32))
-    lcode = _rev_bits(lit_code, lit_n)
-
     li, lev = _len_to_code(mlen)
     lsym = 257 + li
-    lsym_code, lsym_n = _fixed_lit_code(lsym)
     di, dev = _dist_to_code(moff)
-    # fixed dist codes: 5 bits, code == dsym
     len_extra_n = jnp.asarray(LEN_EXTRA)[li]
     dist_extra_n = jnp.asarray(DIST_EXTRA)[di]
 
-    # match element bit layout (LSB-first stream order):
-    #   rev(len code) | len extra | rev(dist code, 5) | dist extra
-    m_val = _rev_bits(lsym_code, lsym_n).astype(jnp.int64)
-    m_bits = lsym_n
+    # ---- choose Huffman tables -----------------------------------------------------
+    fixed_lit_codes_np = _assign_codes_np(FIXED_LIT_LENS, MAX_BITS)
+    fixed_dist_codes_np = _assign_codes_np(FIXED_DIST_LENS, MAX_BITS)
+    lit_lens_t = jnp.asarray(FIXED_LIT_LENS)
+    lit_codes_t = jnp.asarray(fixed_lit_codes_np)
+    dist_lens_t = jnp.asarray(FIXED_DIST_LENS)
+    dist_codes_t = jnp.asarray(fixed_dist_codes_np)
+    use_dyn = jnp.bool_(False)
+    cl_fields_val = jnp.zeros((339,), jnp.int64)
+    cl_fields_bits = jnp.zeros((339,), jnp.int32)
+
+    if opts.algo in (1, 2):
+        lit_freq = jnp.zeros((288,), jnp.int32)
+        lit_freq = lit_freq.at[jnp.where(is_lit, data.astype(jnp.int32), 287)].add(
+            is_lit.astype(jnp.int32))
+        lit_freq = lit_freq.at[jnp.where(is_match, jnp.clip(lsym, 257, 285), 287)].add(
+            is_match.astype(jnp.int32))
+        lit_freq = lit_freq.at[287].set(0)
+        lit_freq = lit_freq.at[256].add(1)            # EOB
+        dist_freq = jnp.zeros((30,), jnp.int32).at[
+            jnp.where(is_match, jnp.clip(di, 0, 29), 29)].add(
+            is_match.astype(jnp.int32))
+        # ensure at least one distance code exists
+        no_match = jnp.sum(is_match.astype(jnp.int32)) == 0
+        dist_freq = dist_freq.at[0].add(jnp.where(no_match, 1, 0))
+
+        dyn_lit_lens, ok_l = _huff_lengths(lit_freq[:286], MAX_BITS)
+        dyn_dist_lens, ok_d = _huff_lengths(dist_freq, MAX_BITS)
+        dyn_lit_lens = jnp.pad(dyn_lit_lens, (0, 2))
+        dyn_dist_lens = jnp.pad(dyn_dist_lens, (0, 2))
+        dyn_lit_codes = _assign_codes(dyn_lit_lens, MAX_BITS)
+        dyn_dist_codes = _assign_codes(dyn_dist_lens, MAX_BITS)
+
+        # code-length (CL) table over the 316 emitted lengths (no 16/17/18 runs)
+        all_lens = jnp.concatenate([dyn_lit_lens[:286], dyn_dist_lens[:30]])
+        cl_freq = jnp.zeros((19,), jnp.int32).at[jnp.clip(all_lens, 0, 15)].add(1)
+        cl_lens, ok_c = _huff_lengths(cl_freq, 7)
+        cl_codes = _assign_codes(cl_lens, 7)
+
+        use_dyn = jnp.logical_and(ok_l, jnp.logical_and(ok_d, ok_c))
+
+        # pick the smaller encoding: compare total bits under both table sets
+        def table_bits(ll, dl, hdr_bits_total):
+            lit_b = jnp.sum(jnp.where(is_lit, ll[jnp.clip(dbyte_pre, 0, 287)], 0))
+            m_b = jnp.sum(jnp.where(
+                is_match,
+                ll[jnp.clip(lsym, 0, 287)] + len_extra_n
+                + dl[jnp.clip(di, 0, 31)] + dist_extra_n, 0))
+            return 3 + hdr_bits_total + lit_b + m_b + ll[256]
+
+        dbyte_pre = data.astype(jnp.int32)
+        cl_hdr_bits = (14 + 19 * 3
+                       + jnp.sum(cl_lens[jnp.clip(all_lens, 0, 15)]))
+        bits_fixed = table_bits(jnp.asarray(FIXED_LIT_LENS),
+                                jnp.asarray(FIXED_DIST_LENS), 0)
+        bits_dyn = table_bits(dyn_lit_lens, dyn_dist_lens, cl_hdr_bits)
+        use_dyn = jnp.logical_and(use_dyn, bits_dyn < bits_fixed)
+        lit_lens_t = jnp.where(use_dyn, dyn_lit_lens, lit_lens_t)
+        lit_codes_t = jnp.where(use_dyn, dyn_lit_codes, lit_codes_t)
+        dist_lens_t = jnp.where(use_dyn, dyn_dist_lens, dist_lens_t)
+        dist_codes_t = jnp.where(use_dyn, dyn_dist_codes, dist_codes_t)
+
+        # header fields: HLIT(5) HDIST(5) HCLEN(4), 19x3 CL lens (CL_ORDER),
+        # then 316 CL-coded length symbols
+        cl_order_t = jnp.asarray(CL_ORDER)
+        f_val = [jnp.int64(29), jnp.int64(29), jnp.int64(15)]
+        f_bits = [jnp.int32(5), jnp.int32(5), jnp.int32(4)]
+        hdr_val = jnp.stack(f_val)
+        hdr_bits = jnp.stack(f_bits)
+        clo_val = cl_lens[cl_order_t].astype(jnp.int64)
+        clo_bits = jnp.full((19,), 3, jnp.int32)
+        sym_val = _rev_bits(cl_codes[jnp.clip(all_lens, 0, 15)],
+                            cl_lens[jnp.clip(all_lens, 0, 15)]).astype(jnp.int64)
+        sym_bits = cl_lens[jnp.clip(all_lens, 0, 15)]
+        cl_fields_val = jnp.concatenate([hdr_val, clo_val, sym_val, jnp.zeros((1,), jnp.int64)])
+        cl_fields_bits = jnp.concatenate([hdr_bits, clo_bits, sym_bits, jnp.zeros((1,), jnp.int32)])
+        cl_fields_bits = jnp.where(use_dyn, cl_fields_bits, 0)
+
+    # ---- per-element fields ---------------------------------------------------------
+    dbyte = data.astype(jnp.int32)
+    lcode = _rev_bits(lit_codes_t[jnp.clip(dbyte, 0, 287)],
+                      lit_lens_t[jnp.clip(dbyte, 0, 287)])
+    lit_n = lit_lens_t[jnp.clip(dbyte, 0, 287)]
+
+    ls_c = jnp.clip(lsym, 0, 287)
+    m_val = _rev_bits(lit_codes_t[ls_c], lit_lens_t[ls_c]).astype(jnp.int64)
+    m_bits = lit_lens_t[ls_c]
     m_val = m_val | (lev.astype(jnp.int64) << m_bits)
     m_bits = m_bits + len_extra_n
-    m_val = m_val | (_rev_bits(di, 5).astype(jnp.int64) << m_bits)
-    m_bits = m_bits + 5
+    dc = jnp.clip(di, 0, 31)
+    m_val = m_val | (_rev_bits(dist_codes_t[dc], dist_lens_t[dc]).astype(jnp.int64) << m_bits)
+    m_bits = m_bits + dist_lens_t[dc]
     m_val = m_val | (dev.astype(jnp.int64) << m_bits)
     m_bits = m_bits + dist_extra_n
 
@@ -524,36 +689,37 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: DeflateOpts,
              jnp.where(is_match, m_val, 0))
     el_bits = jnp.where(is_lit, lit_n, jnp.where(is_match, m_bits, 0))
 
-    # bit offsets: 3-bit block header first
-    bit_off = 3 + jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(el_bits)[:-1].astype(jnp.int32)])
-    total_el_bits = jnp.sum(el_bits)
-    # EOB symbol (256) = 7 bits of 0
-    eob_off = 3 + total_el_bits
-    total_bits = eob_off + 7
+    # EOB
+    eob_val = _rev_bits(lit_codes_t[256], lit_lens_t[256]).astype(jnp.int64)
+    eob_bits = lit_lens_t[256]
+
+    # block header: bfinal=1, btype (01 fixed / 10 dynamic), LSB-first
+    hdr3 = jnp.where(use_dyn, jnp.int64(0b101), jnp.int64(0b011))
+
+    # ---- unified field list + bit serialization ------------------------------------
+    vals = jnp.concatenate([hdr3[None], cl_fields_val, el_val,
+                            eob_val[None]])
+    bits = jnp.concatenate([jnp.full((1,), 3, jnp.int32), cl_fields_bits,
+                            el_bits, eob_bits[None]])
+    nf = vals.shape[0]
+    bit_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(bits)[:-1].astype(jnp.int32)])
+    total_bits = jnp.sum(bits)
     total_bytes = (total_bits + 7) // 8
 
-    # scatter element bits into u32 words (values straddle <=2 words: max 48 bits
-    # -> up to 3 words; use 3 scatter contributions)
     n_words = out_cap // 4 + 2
     word_idx = bit_off >> 5
     sh = (bit_off & 31).astype(jnp.uint64)
-    v = el_val.astype(jnp.uint64)
-    emit_mask = el_bits > 0
-    contrib = []
+    v = vals.astype(jnp.uint64)
+    emit_mask = bits > 0
+    fpos = jnp.arange(nf, dtype=jnp.int32)
+    words = jnp.zeros((n_words + plz.DUMP_SLOTS,), jnp.uint32)
     for w in range(3):
         part = ((v << sh) >> jnp.uint64(32 * w)) & jnp.uint64(0xFFFFFFFF)
-        tgt = jnp.where(emit_mask, jnp.clip(word_idx + w, 0, n_words - 1), n_words)
-        contrib.append((tgt, part.astype(jnp.uint32)))
-    # block header: bfinal=1, btype=01 -> bits (LSB first): 1,1,0 = value 0b011
-    hdr_tgt = jnp.zeros((1,), jnp.int32)
-    words = jnp.zeros((n_words + 1,), jnp.uint32)
-    words = words.at[0].add(jnp.uint32(0b011))
-    for tgt, part in contrib:
-        words = words.at[tgt].add(part)
+        tgt = jnp.where(emit_mask, jnp.clip(word_idx + w, 0, n_words - 1),
+                        plz.dump_spread(fpos, n_words))
+        words = words.at[tgt].add(part.astype(jnp.uint32))
     words = words[:n_words]
-    # EOB: 7 zero bits -> nothing to OR in
 
     wbytes = jnp.stack([words & 0xFF, (words >> 8) & 0xFF,
                         (words >> 16) & 0xFF, (words >> 24) & 0xFF],
@@ -561,11 +727,46 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: DeflateOpts,
     out = jnp.where(jnp.arange(out_cap) < total_bytes,
                     wbytes[jnp.clip(jnp.arange(out_cap), 0, wbytes.shape[0] - 1)], 0)
 
-    # empty input: still emit header+EOB (total_bits = 10 -> 2 bytes)
+    # stored-block fallback: if entropy coding cannot beat raw + 5 bytes,
+    # emit an RFC-1951 stored block instead (also caps the worst case)
+    stored_bytes = size + 5
+    use_stored = stored_bytes < total_bytes
+    opos = jnp.arange(out_cap, dtype=jnp.int32)
+    ln = size.astype(jnp.int32)
+    stored_hdr = jnp.stack([jnp.int32(0x01), ln & 0xFF, (ln >> 8) & 0xFF,
+                            (~ln) & 0xFF, ((~ln) >> 8) & 0xFF])
+    stored_out = jnp.where(
+        opos < 5, stored_hdr[jnp.clip(opos, 0, 4)],
+        data[jnp.clip(opos - 5, 0, cap - 1)].astype(jnp.int32)).astype(jnp.uint8)
+    stored_out = jnp.where(opos < stored_bytes, stored_out, 0)
+    out = jnp.where(use_stored, stored_out, out)
+    total_bytes = jnp.where(use_stored, stored_bytes, total_bytes)
+
     too_big = total_bytes > out_cap
     status = jnp.where(too_big, Status.ERROR_OUTPUT_BUFFER_TOO_SMALL, Status.SUCCESS)
-    return out.astype(jnp.uint8), jnp.where(too_big, 0, total_bytes).astype(jnp.int32), \
+    return out.astype(jnp.uint8), \
+        jnp.where(too_big, 0, total_bytes).astype(jnp.int32), \
         status.astype(jnp.int32)
+
+
+def _assign_codes_np(lens: np.ndarray, max_len: int) -> np.ndarray:
+    """Host-side canonical code assignment for the static fixed tables."""
+    count = np.zeros(max_len + 1, np.int64)
+    for l in lens:
+        if l > 0:
+            count[l] += 1
+    first = np.zeros(max_len + 1, np.int64)
+    code = 0
+    for l in range(1, max_len + 1):
+        code = (code + count[l - 1]) << 1
+        first[l] = code
+    codes = np.zeros(len(lens), np.int32)
+    nxt = first.copy()
+    for s, l in enumerate(lens):
+        if l > 0:
+            codes[s] = nxt[l]
+            nxt[l] += 1
+    return codes
 
 
 # -- batched (vmapped) entry points ---------------------------------------------------
