@@ -83,8 +83,9 @@ class TestDecodeVsZstandard:
         assert stat[0] == Status.SUCCESS and got[0] == data
 
 
-@slow
 class TestEncode:
+    """Encode-side compiles quickly; only the self-roundtrip needs the decoder."""
+
     def test_store_mode_zstandard_decodes(self):
         data = fixtures()
         cb = ChunkBatch.from_chunks(list(data.values()), max_chunk_bytes=OUT_CAP)
@@ -96,6 +97,7 @@ class TestEncode:
             frame = bytes(np.asarray(out[i, : osz[i]]))
             assert dctx.decompress(frame, max_output_size=OUT_CAP) == orig, name
 
+    @slow
     def test_self_roundtrip(self):
         data = fixtures()
         cb = ChunkBatch.from_chunks(list(data.values()), max_chunk_bytes=OUT_CAP)
