@@ -58,6 +58,15 @@ class TestPyReference:
         for name, data in fixtures().items():
             assert decode_frame(cctx.compress(data)) == data, f"{name} L{level}"
 
+    @pytest.mark.parametrize("level", [1, 6, 19])
+    def test_multiblock_frames(self, level):
+        # >128 KiB inputs force multiple blocks (treeless/repeat modes across
+        # blocks, direct Huffman weights — regression for the headerByte-127
+        # explicit-weight count)
+        data = synth.mixed_corpus(400_000, seed=17).tobytes()
+        comp = zstandard.ZstdCompressor(level=level).compress(data)
+        assert decode_frame(comp) == data
+
 
 @slow
 class TestDecodeVsZstandard:

@@ -119,12 +119,13 @@ def huf_weights(buf, tree_pos):
     """-> (weights list incl. implied last, tree_bytes)."""
     thdr = buf[tree_pos]
     if thdr >= 128:
+        # headerByte - 127 EXPLICIT weights (the implied last one is extra)
         n = thdr - 127
         ws = []
-        for i in range(n - 1):
+        for i in range(n):
             b = buf[tree_pos + 1 + (i >> 1)]
             ws.append(b >> 4 if (i & 1) == 0 else b & 0xF)
-        tree_bytes = 1 + ((n - 1 + 1) >> 1)
+        tree_bytes = 1 + ((n + 1) >> 1)
     else:
         norm, acc, bp = read_ncount(buf, (tree_pos + 1) * 8, 32)
         table = fse_build(norm, acc)

@@ -533,16 +533,15 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
         # tree description (lit_type == 2 only)
         thdr = gb(tree_pos)
         direct = thdr >= 128
+        # direct representation: headerByte - 127 EXPLICIT weights packed two
+        # per byte (the final symbol's weight is implied and NOT counted here)
         n_dweights = thdr - 127
         dk = jnp.arange(256, dtype=jnp.int32)
         dw_byte = gb(tree_pos + 1 + (dk >> 1))
         dweights = jnp.where((dk & 1) == 0, dw_byte >> 4, dw_byte & 0xF)
-        dweights = jnp.where(dk < n_dweights - 1, dweights, 0)
-        direct_bytes = 1 + (n_dweights >> 1)  # ceil((n-1)/2)... see below
-        # direct: Number_of_Weights = headerByte - 127; weights for symbols
-        # 0..n-2 are explicit (last implied); packed two per byte
-        n_explicit = n_dweights - 1
-        direct_bytes = 1 + ((n_explicit + 1) >> 1)
+        dweights = jnp.where(dk < n_dweights, dweights, 0)
+        n_explicit = n_dweights
+        direct_bytes = 1 + ((n_dweights + 1) >> 1)
 
         # FSE-compressed weights: headerByte = compressed size; two states
         wtab_norm, wtab_nsym, wtab_acc, wbit, werr = read_ncount(
