@@ -95,6 +95,19 @@ class TestDecodeVsZstandard:
 class TestEncode:
     """Encode-side compiles quickly; only the self-roundtrip needs the decoder."""
 
+    def test_compression_ratio(self):
+        # compressed blocks (predefined-FSE sequences + raw literals) must
+        # actually compress LZ-friendly data
+        data = synth.low_cardinality_ints(16384).tobytes()
+        cb = ChunkBatch.from_chunks([data])
+        cap = tz.max_compressed_chunk_size(16384)
+        out, osz, ost = tz.compress_batch(cb.data, cb.sizes, tz.DEFAULT_OPTS, cap)
+        assert int(ost[0]) == Status.SUCCESS
+        assert int(osz[0]) < len(data) // 10
+        frame = bytes(np.asarray(out[0, : osz[0]]))
+        got = zstandard.ZstdDecompressor().decompress(frame, max_output_size=20000)
+        assert got == data
+
     def test_store_mode_zstandard_decodes(self):
         data = fixtures()
         cb = ChunkBatch.from_chunks(list(data.values()), max_chunk_bytes=OUT_CAP)

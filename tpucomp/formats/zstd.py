@@ -130,6 +130,36 @@ ML_DEFAULT_TABLE = _fse_build_np(ML_DEFAULT, ML_DEFAULT_ACC)
 OF_DEFAULT_TABLE = _fse_build_np(OF_DEFAULT, OF_DEFAULT_ACC)
 
 
+def _fse_enc_np(packed: np.ndarray, acc: int, n_sym: int):
+    """Encode-side lookup from a decode table: for (symbol s, next-state x),
+    the unique slot y with sym(y)==s and x in [base_y, base_y+2^nb_y).
+
+    Returns (state_tab[n_sym, 2^acc] = y, nb_tab, base_tab, first_slot[n_sym]).
+    """
+    size = 1 << acc
+    state_tab = np.zeros((n_sym, size), np.int32)
+    nb_tab = np.zeros((n_sym, size), np.int32)
+    base_tab = np.zeros((n_sym, size), np.int32)
+    first = np.full(n_sym, -1, np.int32)
+    for y in range(size):
+        e = int(packed[y])
+        sym, nb, base = e & 0xFF, (e >> 8) & 0xFF, (e >> 16) & 0xFFFF
+        if sym >= n_sym:
+            continue
+        if first[sym] < 0:
+            first[sym] = y
+        for x in range(base, base + (1 << nb)):
+            state_tab[sym, x] = y
+            nb_tab[sym, x] = nb
+            base_tab[sym, x] = base
+    return state_tab, nb_tab, base_tab, first
+
+
+LL_ENC = _fse_enc_np(LL_DEFAULT_TABLE, LL_DEFAULT_ACC, 36)
+ML_ENC = _fse_enc_np(ML_DEFAULT_TABLE, ML_DEFAULT_ACC, 53)
+OF_ENC = _fse_enc_np(OF_DEFAULT_TABLE, OF_DEFAULT_ACC, 29)
+
+
 def _fse_build_traced(norm: jax.Array, nsym: jax.Array, acc_log: jax.Array):
     """Traced version of :func:`_fse_build_np` -> (packed int32[FSE_CAP], ok).
 
@@ -924,8 +954,9 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
 # encoder: store-mode frames (raw blocks; RLE where a block is constant)
 # =====================================================================================
 
-def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
-                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+def _encode_store(data: jax.Array, size: jax.Array, opts: ZstdOpts,
+                  out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Store-mode frame (raw blocks) — fallback and >128 KiB chunk path."""
     cap = data.shape[0]
     size = size.astype(jnp.int32)
     BLK = 1 << 16  # 64 KiB raw blocks
@@ -1009,6 +1040,198 @@ def get_decompress_size(comp: jax.Array, comp_size: jax.Array) -> jax.Array:
           jnp.where(fcs_flag == 1, fcs2 + 256, fcs4))
     ok = jnp.logical_and(comp_size >= 6, magic == MAGIC)
     return jnp.where(ok, fcs, 0).astype(jnp.int32)
+
+
+def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
+                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Compress one chunk as a zstd frame.
+
+    Chunks <= 128 KiB emit a single compressed block — raw literals plus
+    predefined-FSE-coded sequences from the shared LZ match finder (real LZ
+    compression in a fully standard container; Huffman literals and custom FSE
+    tables are the next ratio step).  Falls back to the store-mode frame
+    whenever that would be smaller.  Larger chunks use store-mode frames.
+    """
+    cap = data.shape[0]
+    if cap > (1 << 17):
+        return _encode_store(data, size, opts, out_cap)
+
+    from tpucomp.formats import lz4 as _lz4
+    size = size.astype(jnp.int32)
+    store_out, store_size, store_status = _encode_store(data, size, opts, out_cap)
+
+    # ---- matches + greedy parse (shared machinery) --------------------------------
+    mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8))
+    p = jnp.arange(cap, dtype=jnp.int32)
+    has_match = mlen >= 4
+    nxt = jnp.where(has_match, p + mlen, p + 1)
+    nxt = jnp.where(p < size, nxt, cap)
+    reach, _ = plz.wyllie_path(nxt, jnp.zeros((cap,), jnp.int32),
+                               num_rounds=_ceil_log2(cap) + 1)
+    reach = jnp.logical_and(reach, p < size)
+    is_tok = jnp.logical_and(reach, has_match)
+    nseq = jnp.sum(is_tok.astype(jnp.int32))
+
+    cap_tok = cap // 4 + 2
+    sorted_pos = jnp.sort(jnp.where(is_tok, p, jnp.int32(2**30)))[:cap_tok]
+    t_pos = jnp.clip(sorted_pos, 0, cap - 1)
+    t_ml = mlen[t_pos]
+    t_off = jnp.maximum(moff[t_pos], 1)
+    ti = jnp.arange(cap_tok, dtype=jnp.int32)
+    t_valid = ti < nseq
+    prev_end = jnp.where(ti == 0, 0,
+                         t_pos[jnp.clip(ti - 1, 0, cap_tok - 1)]
+                         + t_ml[jnp.clip(ti - 1, 0, cap_tok - 1)])
+    t_ll = jnp.where(t_valid, t_pos - prev_end, 0)
+    t_ml = jnp.where(t_valid, t_ml, 0)
+
+    # ---- literal bytes (in order) ---------------------------------------------------
+    is_lit = jnp.logical_and(reach, jnp.logical_not(has_match))
+    n_lit = jnp.sum(is_lit.astype(jnp.int32))
+    lit_pos = jnp.sort(jnp.where(is_lit, p, jnp.int32(2**30)))
+    lit_bytes = data[jnp.clip(lit_pos, 0, cap - 1)]
+
+    # ---- per-sequence codes ---------------------------------------------------------
+    ll_base_t = jnp.asarray(LL_BASE)
+    ml_base_t = jnp.asarray(ML_BASE)
+    ll_code = jnp.clip(jnp.searchsorted(ll_base_t, t_ll, side="right").astype(jnp.int32) - 1, 0, 35)
+    ml_code = jnp.clip(jnp.searchsorted(ml_base_t, jnp.maximum(t_ml, 3), side="right").astype(jnp.int32) - 1, 0, 52)
+    ll_x = t_ll - ll_base_t[ll_code]
+    ml_x = jnp.maximum(t_ml, 3) - ml_base_t[ml_code]
+    ofv = t_off + 3
+    of_code = jnp.zeros((cap_tok,), jnp.int32)
+    for k in range(1, 18):
+        of_code = jnp.where((ofv >> k) > 0, k, of_code)
+    of_x = ofv - (jnp.int32(1) << of_code)
+
+    # ---- FSE state chains (reverse scan; see _fse_enc_np) ---------------------------
+    ll_st_t, ll_nb_t, ll_bs_t, ll_first = (jnp.asarray(a) for a in LL_ENC)
+    ml_st_t, ml_nb_t, ml_bs_t, ml_first = (jnp.asarray(a) for a in ML_ENC)
+    of_st_t, of_nb_t, of_bs_t, of_first = (jnp.asarray(a) for a in OF_ENC)
+
+    def chain(sym_arr, st_t, nb_t, bs_t, first_t):
+        def step(carry, x):
+            s_next, started = carry
+            sym, active = x
+            is_last = jnp.logical_and(active, jnp.logical_not(started))
+            s_init = first_t[sym]
+            y = st_t[sym, jnp.clip(s_next, 0, st_t.shape[1] - 1)]
+            nb = nb_t[sym, jnp.clip(s_next, 0, st_t.shape[1] - 1)]
+            b = s_next - bs_t[sym, jnp.clip(s_next, 0, st_t.shape[1] - 1)]
+            new_s = jnp.where(is_last, s_init, jnp.where(active, y, s_next))
+            out_b = jnp.where(jnp.logical_and(active, started), b, 0)
+            out_nb = jnp.where(jnp.logical_and(active, started), nb, 0)
+            return (new_s, jnp.logical_or(started, active)), (out_b, out_nb)
+
+        (s0, _), (bs, nbs) = jax.lax.scan(
+            step, (jnp.int32(0) + 0 * size, size < 0),
+            (sym_arr[::-1], t_valid[::-1]))
+        return s0, bs[::-1], nbs[::-1]
+
+    # the scan step for seq i computes the transition bits the decoder reads
+    # during seq i's state update (from s_{i+1} and sym_i) — already aligned
+    ll_s0, ll_ub, ll_un = chain(ll_code, ll_st_t, ll_nb_t, ll_bs_t, ll_first)
+    ml_s0, ml_ub, ml_un = chain(ml_code, ml_st_t, ml_nb_t, ml_bs_t, ml_first)
+    of_s0, of_ub, of_un = chain(of_code, of_st_t, of_nb_t, of_bs_t, of_first)
+
+    # ---- bit-field list in decode order ---------------------------------------------
+    ll_bits_t = jnp.asarray(LL_BITS)
+    ml_bits_t = jnp.asarray(ML_BITS)
+    f_val = jnp.stack([of_x, ml_x, ll_x, ll_ub, ml_ub, of_ub], axis=1).reshape(-1)
+    f_nb = jnp.stack([jnp.where(t_valid, of_code, 0),
+                      jnp.where(t_valid, ml_bits_t[ml_code], 0),
+                      jnp.where(t_valid, ll_bits_t[ll_code], 0),
+                      ll_un, ml_un, of_un], axis=1).reshape(-1)
+    head_val = jnp.stack([ll_s0, of_s0, ml_s0])
+    head_nb = jnp.where(nseq > 0,
+                        jnp.array([LL_DEFAULT_ACC, OF_DEFAULT_ACC,
+                                   ML_DEFAULT_ACC], jnp.int32), 0)
+    vals = jnp.concatenate([head_val, f_val]).astype(jnp.int64)
+    nbs = jnp.concatenate([head_nb, f_nb])
+
+    total_bits = jnp.sum(nbs)
+    prefix = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(nbs)[:-1].astype(jnp.int32)])
+    # decode reads top-down: field j sits at [total - prefix_j - n_j, total - prefix_j)
+    bit_off = total_bits - prefix - nbs
+    stream_bytes = (total_bits + 1 + 7) // 8
+
+    nf = vals.shape[0]
+    n_words = cap // 4 + 16
+    words = jnp.zeros((n_words + plz.DUMP_SLOTS,), jnp.uint32)
+    sh = (bit_off & 31).astype(jnp.uint64)
+    widx = bit_off >> 5
+    v64 = vals.astype(jnp.uint64)
+    fpos = jnp.arange(nf, dtype=jnp.int32)
+    emit = nbs > 0
+    for w in range(3):
+        part = ((v64 << sh) >> jnp.uint64(32 * w)) & jnp.uint64(0xFFFFFFFF)
+        tgt = jnp.where(emit, jnp.clip(widx + w, 0, n_words - 1),
+                        plz.dump_spread(fpos, n_words))
+        words = words.at[tgt].add(part.astype(jnp.uint32))
+    # padding 1-bit at position total_bits
+    pad_w = jnp.clip(total_bits >> 5, 0, n_words - 1)
+    words = words.at[pad_w].add(jnp.uint32(1) << (total_bits & 31).astype(jnp.uint32))
+    words = words[:n_words]
+    wshift = jnp.arange(4, dtype=jnp.uint32) * 8
+    stream_u8 = ((words[:, None] >> wshift[None, :]) & 0xFF).astype(jnp.uint8).reshape(-1)
+
+    # ---- assemble the frame ---------------------------------------------------------
+    wl = jnp.int32(10)
+    for k in range(11, 25):
+        wl = jnp.where(size > (1 << (k - 1)), k, wl)
+    hdr = jnp.zeros((13,), jnp.uint8)
+    for b, v in enumerate([MAGIC & 0xFF, (MAGIC >> 8) & 0xFF,
+                           (MAGIC >> 16) & 0xFF, (MAGIC >> 24) & 0xFF]):
+        hdr = hdr.at[b].set(v)
+    hdr = hdr.at[4].set(0x80)                       # fcs_flag=2 (4-byte FCS)
+    hdr = hdr.at[5].set(((wl - 10) << 3).astype(jnp.uint8))
+    for b in range(4):
+        hdr = hdr.at[6 + b].set(((size >> (8 * b)) & 0xFF).astype(jnp.uint8))
+
+    nseq_hdr = jnp.where(nseq == 0, 1, 2)
+    seq_sec = nseq_hdr + jnp.where(nseq > 0, 1 + stream_bytes, 0)
+    block_size = 3 + n_lit + seq_sec
+    bh = jnp.int32(1) | (2 << 1) | (block_size << 3)
+    hdr = hdr.at[10].set((bh & 0xFF).astype(jnp.uint8))
+    hdr = hdr.at[11].set(((bh >> 8) & 0xFF).astype(jnp.uint8))
+    hdr = hdr.at[12].set(((bh >> 16) & 0xFF).astype(jnp.uint8))
+
+    lit_hdr = jnp.stack([
+        (jnp.int32(0) | (3 << 2) | ((n_lit & 0xF) << 4)) & 0xFF,
+        (n_lit >> 4) & 0xFF, (n_lit >> 12) & 0xFF]).astype(jnp.uint8)
+
+    total = 13 + 3 + n_lit + seq_sec
+    pos_o = jnp.arange(out_cap, dtype=jnp.int32)
+    out = jnp.where(pos_o < 13, hdr[jnp.clip(pos_o, 0, 12)], 0).astype(jnp.uint8)
+    # lit header at 13
+    sel = jnp.logical_and(pos_o >= 13, pos_o < 16)
+    out = jnp.where(sel, lit_hdr[jnp.clip(pos_o - 13, 0, 2)], out)
+    # literals at 16
+    sel = jnp.logical_and(pos_o >= 16, pos_o < 16 + n_lit)
+    out = jnp.where(sel, lit_bytes[jnp.clip(pos_o - 16, 0, cap - 1)], out)
+    # nseq header
+    o1 = 16 + n_lit
+    nseq_b0 = jnp.where(nseq == 0, 0, 128 + (nseq >> 8))
+    out = jnp.where(pos_o == o1, nseq_b0.astype(jnp.uint8), out)
+    out = jnp.where(jnp.logical_and(pos_o == o1 + 1, nseq > 0),
+                    (nseq & 0xFF).astype(jnp.uint8), out)
+    # SCM byte (predefined everywhere) + stream
+    o2 = o1 + nseq_hdr
+    out = jnp.where(jnp.logical_and(pos_o == o2, nseq > 0), jnp.uint8(0), out)
+    sel = jnp.logical_and(nseq > 0,
+                          jnp.logical_and(pos_o >= o2 + 1, pos_o < total))
+    out = jnp.where(sel, stream_u8[jnp.clip(pos_o - (o2 + 1), 0,
+                                            stream_u8.shape[0] - 1)], out)
+
+    # ---- choose the smaller frame ---------------------------------------------------
+    comp_ok = jnp.logical_and(total <= out_cap, nseq <= 32511)
+    comp_ok = jnp.logical_and(comp_ok, n_lit < (1 << 20))
+    use_comp = jnp.logical_and(comp_ok, total < store_size)
+    out = jnp.where(use_comp, out, store_out)
+    out_size = jnp.where(use_comp, total, store_size).astype(jnp.int32)
+    status = jnp.where(use_comp, Status.SUCCESS, store_status)
+    return out, out_size, status.astype(jnp.int32)
 
 
 # -- batched (vmapped) entry points ---------------------------------------------------
