@@ -229,6 +229,12 @@ def _find_matches(data: jax.Array, size: jax.Array, run_dists: tuple[int, ...],
         best_len = jnp.where(better, rlen, best_len)
         best_off = jnp.where(better, d, best_off)
 
+    # ---- one-step lazy matching ----------------------------------------------------
+    # classic heuristic: if the next position starts a strictly longer match,
+    # emit this byte as a literal and take the longer match instead
+    next_len = jnp.concatenate([best_len[1:], jnp.zeros((1,), best_len.dtype)])
+    best_len = jnp.where(next_len > best_len, 0, best_len)
+
     # ---- end-of-block rules --------------------------------------------------------
     best_len = jnp.minimum(best_len, jnp.maximum(size - LAST_LITERALS - p, 0))
     legal = jnp.logical_and(best_len >= MIN_MATCH, p + MF_LIMIT <= size)
