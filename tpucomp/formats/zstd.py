@@ -1042,6 +1042,155 @@ def get_decompress_size(comp: jax.Array, comp_size: jax.Array) -> jax.Array:
     return jnp.where(ok, fcs, 0).astype(jnp.int32)
 
 
+def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
+    """Build a Huffman-compressed 4-stream literal section (zstd format).
+
+    Returns (section uint8[sec_cap], section_len, csize, ok).  ``ok`` is False
+    when Huffman coding is inapplicable (>128 explicit weights for the direct
+    tree representation, degenerate alphabets, or no size win) — callers then
+    emit raw literals.  Everything is parallel: weight construction reuses the
+    deflate Kraft-exact length builder (max 11 bits), codes follow zstd's
+    canonical order (longest codes first), and each of the four backward
+    streams is laid out by offset arithmetic + scatter-OR.
+    """
+    from tpucomp.formats.deflate import _huff_lengths
+
+    # histogram over the literal buffer
+    li = jnp.arange(cap, dtype=jnp.int32)
+    valid = li < n_lit
+    freq = jnp.zeros((256,), jnp.int32).at[
+        jnp.where(valid, lit_bytes.astype(jnp.int32), 255)].add(
+        valid.astype(jnp.int32))
+    # the dump also hit bin 255; recount it exactly
+    c255 = jnp.sum(jnp.where(jnp.logical_and(valid, lit_bytes == 255), 1, 0)).astype(jnp.int32)
+    freq = freq.at[255].set(c255)
+
+    lens, ok = _huff_lengths(freq, 11)
+    present = lens > 0
+    n_present = jnp.sum(present.astype(jnp.int32))
+    max_bits = jnp.max(lens)
+    sym_ids = jnp.arange(256, dtype=jnp.int32)
+    max_sym = jnp.max(jnp.where(present, sym_ids, -1))
+    weights = jnp.where(present, max_bits + 1 - lens, 0)
+
+    ok = jnp.logical_and(ok, n_present >= 2)
+    ok = jnp.logical_and(ok, max_sym <= 128)      # direct tree: <=128 explicit
+    ok = jnp.logical_and(ok, n_lit >= 64)
+
+    # canonical codes, zstd order: (nbits desc, symbol asc)
+    nb = jnp.where(present, lens, 0)
+    span = jnp.where(present, jnp.int32(1) << jnp.clip(max_bits - nb, 0, 11), 0)
+    key = jnp.where(present, (-nb).astype(jnp.int64) * 512 + sym_ids,
+                    jnp.int64(1 << 40))
+    order = jnp.argsort(key).astype(jnp.int32)
+    span_o = span[order]
+    start_o = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(span_o)[:-1].astype(jnp.int32)])
+    start = jnp.zeros((256,), jnp.int32).at[order].set(start_o)
+    codes = start >> jnp.clip(max_bits - nb, 0, 11)
+
+    # tree description: direct 4-bit weights, two per byte
+    n_explicit = max_sym                     # weights for symbols 0..max_sym-1
+    tree_hdr = (127 + n_explicit).astype(jnp.int32)
+    wk = jnp.arange(128, dtype=jnp.int32)
+    whi = weights[jnp.clip(2 * wk, 0, 255)]
+    wlo = jnp.where(2 * wk + 1 < n_explicit, weights[jnp.clip(2 * wk + 1, 0, 255)], 0)
+    wlo = jnp.where(2 * wk + 1 < n_explicit, wlo, jnp.where(
+        2 * wk < n_explicit, 0, 0))
+    tree_nib = ((whi << 4) | wlo).astype(jnp.uint8)
+    tree_bytes = 1 + ((n_explicit + 1) >> 1)
+
+    # four streams: 3 x ceil(n/4) then the rest
+    per = (n_lit + 3) >> 2
+    counts = jnp.stack([per, per, per, n_lit - 3 * per])
+    offs = jnp.stack([jnp.int32(0), per, 2 * per, 3 * per])
+
+    # per-literal code fields; stream id and in-stream index per literal
+    sidx = jnp.clip(jnp.where(valid, li // jnp.maximum(per, 1), 0), 0, 3)
+    sidx = jnp.where(li >= 3 * per, 3, sidx)
+    code_l = codes[jnp.clip(lit_bytes.astype(jnp.int32), 0, 255)]
+    nb_l = jnp.where(valid, nb[jnp.clip(lit_bytes.astype(jnp.int32), 0, 255)], 0)
+
+    # per-stream bit layout: prefix of nbits within the stream, descending
+    # (first symbol at the top).  Segmented prefix via global cumsum minus the
+    # stream-start cumsum.
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(nb_l)[:-1].astype(jnp.int32)])
+    cum_at_start = jnp.zeros((4,), jnp.int32)
+    for k in range(4):
+        idxk = jnp.clip(offs[k], 0, cap - 1)
+        cum_at_start = cum_at_start.at[k].set(
+            jnp.where(counts[k] > 0, cum[idxk], 0))
+    prefix_in_stream = cum - cum_at_start[sidx]
+    total_bits_s = jnp.zeros((4,), jnp.int32)
+    for k in range(4):
+        end = offs[k] + counts[k]
+        idxk = jnp.clip(end - 1, 0, cap - 1)
+        tb = jnp.where(counts[k] > 0,
+                       cum[idxk] + nb_l[jnp.clip(idxk, 0, cap - 1)]
+                       - cum_at_start[k], 0)
+        total_bits_s = total_bits_s.at[k].set(tb)
+    sbytes = (total_bits_s + 1 + 7) >> 3
+
+    # serialize all four streams into one words buffer; stream k's bytes start
+    # at byte offset soff[k] (within the streams region)
+    soff = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(sbytes)[:-1].astype(jnp.int32)])
+    bit_off = (soff[sidx] * 8
+               + total_bits_s[sidx] - prefix_in_stream - nb_l)
+    n_words = cap // 2 + 8
+    words = jnp.zeros((n_words + plz.DUMP_SLOTS,), jnp.uint32)
+    sh = (bit_off & 31).astype(jnp.uint64)
+    widx = bit_off >> 5
+    v64 = code_l.astype(jnp.uint64)
+    emit = jnp.logical_and(valid, nb_l > 0)
+    for w in range(2):
+        part = ((v64 << sh) >> jnp.uint64(32 * w)) & jnp.uint64(0xFFFFFFFF)
+        tgt = jnp.where(emit, jnp.clip(widx + w, 0, n_words - 1),
+                        plz.dump_spread(li, n_words))
+        words = words.at[tgt].add(part.astype(jnp.uint32))
+    # per-stream padding bit at its total_bits position
+    for k in range(4):
+        pb = soff[k] * 8 + total_bits_s[k]
+        pw = jnp.clip(pb >> 5, 0, n_words - 1)
+        words = words.at[pw].add(
+            jnp.where(counts[k] > 0,
+                      jnp.uint32(1) << (pb & 31).astype(jnp.uint32),
+                      jnp.uint32(0)))
+    words = words[:n_words]
+    wshift = jnp.arange(4, dtype=jnp.uint32) * 8
+    stream_u8 = ((words[:, None] >> wshift[None, :]) & 0xFF).astype(jnp.uint8).reshape(-1)
+
+    streams_total = jnp.sum(sbytes)
+    csize = tree_bytes + 6 + streams_total
+    ok = jnp.logical_and(ok, csize + 5 < n_lit)   # must actually win vs raw
+
+    # assemble the section: [5B lit hdr] [tree] [jump 6B] [streams]
+    sec_cap = cap + 64
+    po = jnp.arange(sec_cap, dtype=jnp.int32)
+    # literal section header: type=2 (Compressed), fmt=3: 18-bit regen+csize
+    w0 = (jnp.int32(2) | (3 << 2)
+          | ((n_lit & 0x3FFFF) << 4)).astype(jnp.int64)
+    w0 = w0 | ((csize & 0x3FFFF).astype(jnp.int64) << 22)
+    hdr5 = ((w0[None] >> (8 * jnp.arange(5, dtype=jnp.int64))) & 0xFF).astype(jnp.uint8)
+    sec = jnp.where(po < 5, hdr5[jnp.clip(po, 0, 4)], 0).astype(jnp.uint8)
+    sec = jnp.where(po == 5, tree_hdr.astype(jnp.uint8), sec)
+    sel = jnp.logical_and(po >= 6, po < 5 + tree_bytes)
+    sec = jnp.where(sel, tree_nib[jnp.clip(po - 6, 0, 127)], sec)
+    jo = 5 + tree_bytes
+    jump = jnp.stack([sbytes[0] & 0xFF, sbytes[0] >> 8,
+                      sbytes[1] & 0xFF, sbytes[1] >> 8,
+                      sbytes[2] & 0xFF, sbytes[2] >> 8]).astype(jnp.uint8)
+    sel = jnp.logical_and(po >= jo, po < jo + 6)
+    sec = jnp.where(sel, jump[jnp.clip(po - jo, 0, 5)], sec)
+    so = jo + 6
+    sel = jnp.logical_and(po >= so, po < so + streams_total)
+    sec = jnp.where(sel, stream_u8[jnp.clip(po - so, 0, stream_u8.shape[0] - 1)], sec)
+    sec_len = 5 + csize
+    ok = jnp.logical_and(ok, jnp.all(sbytes < (1 << 16)))
+    return sec, sec_len, ok
+
+
 def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
                  out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Compress one chunk as a zstd frame.
@@ -1090,6 +1239,7 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
     n_lit = jnp.sum(is_lit.astype(jnp.int32))
     lit_pos = jnp.sort(jnp.where(is_lit, p, jnp.int32(2**30)))
     lit_bytes = data[jnp.clip(lit_pos, 0, cap - 1)]
+    huf_sec, huf_sec_len, huf_ok = _huf_literals(lit_bytes, n_lit, cap)
 
     # ---- per-sequence codes ---------------------------------------------------------
     ll_base_t = jnp.asarray(LL_BASE)
@@ -1191,7 +1341,8 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
 
     nseq_hdr = jnp.where(nseq == 0, 1, 2)
     seq_sec = nseq_hdr + jnp.where(nseq > 0, 1 + stream_bytes, 0)
-    block_size = 3 + n_lit + seq_sec
+    lit_sec_len = jnp.where(huf_ok, huf_sec_len, 3 + n_lit)
+    block_size = lit_sec_len + seq_sec
     bh = jnp.int32(1) | (2 << 1) | (block_size << 3)
     hdr = hdr.at[10].set((bh & 0xFF).astype(jnp.uint8))
     hdr = hdr.at[11].set(((bh >> 8) & 0xFF).astype(jnp.uint8))
@@ -1201,17 +1352,23 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
         (jnp.int32(0) | (3 << 2) | ((n_lit & 0xF) << 4)) & 0xFF,
         (n_lit >> 4) & 0xFF, (n_lit >> 12) & 0xFF]).astype(jnp.uint8)
 
-    total = 13 + 3 + n_lit + seq_sec
+    total = 13 + lit_sec_len + seq_sec
     pos_o = jnp.arange(out_cap, dtype=jnp.int32)
     out = jnp.where(pos_o < 13, hdr[jnp.clip(pos_o, 0, 12)], 0).astype(jnp.uint8)
-    # lit header at 13
-    sel = jnp.logical_and(pos_o >= 13, pos_o < 16)
-    out = jnp.where(sel, lit_hdr[jnp.clip(pos_o - 13, 0, 2)], out)
-    # literals at 16
-    sel = jnp.logical_and(pos_o >= 16, pos_o < 16 + n_lit)
-    out = jnp.where(sel, lit_bytes[jnp.clip(pos_o - 16, 0, cap - 1)], out)
+    # literal section at 13: Huffman-compressed when it wins, else raw
+    raw_sel = jnp.logical_and(jnp.logical_not(huf_ok),
+                              jnp.logical_and(pos_o >= 13, pos_o < 16))
+    out = jnp.where(raw_sel, lit_hdr[jnp.clip(pos_o - 13, 0, 2)], out)
+    raw_sel = jnp.logical_and(jnp.logical_not(huf_ok),
+                              jnp.logical_and(pos_o >= 16, pos_o < 16 + n_lit))
+    out = jnp.where(raw_sel, lit_bytes[jnp.clip(pos_o - 16, 0, cap - 1)], out)
+    huf_sel = jnp.logical_and(huf_ok,
+                              jnp.logical_and(pos_o >= 13,
+                                              pos_o < 13 + huf_sec_len))
+    out = jnp.where(huf_sel,
+                    huf_sec[jnp.clip(pos_o - 13, 0, huf_sec.shape[0] - 1)], out)
     # nseq header
-    o1 = 16 + n_lit
+    o1 = 13 + lit_sec_len
     nseq_b0 = jnp.where(nseq == 0, 0, 128 + (nseq >> 8))
     out = jnp.where(pos_o == o1, nseq_b0.astype(jnp.uint8), out)
     out = jnp.where(jnp.logical_and(pos_o == o1 + 1, nseq > 0),
