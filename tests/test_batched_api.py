@@ -20,10 +20,11 @@ def test_temp_size_parity_shims():
     assert batched.compress_get_max_output_chunk_size("lz4", 65536) > 65536
 
 
-@pytest.mark.parametrize("fmt", ["lz4", "snappy", "cascaded"])
+@pytest.mark.parametrize("fmt", ["lz4", "snappy", "cascaded", "ans",
+                                 "deflate", "gdeflate", "bitcomp"])
 def test_roundtrip_via_generic_api(fmt):
     data = synth.mixed_corpus(32768, seed=11).tobytes()
-    if fmt == "cascaded":
+    if fmt in ("cascaded", "bitcomp"):
         data = synth.low_cardinality_ints(32768).tobytes()
     cb = ChunkBatch.from_bytes(data, chunk_size=8192)
     comp, cstat = batched.compress(fmt, cb)
