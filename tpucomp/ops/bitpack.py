@@ -2,11 +2,10 @@
 
 TPU-native replacement for the reference's CUB-based bitpack pass
 (``doc/algorithms_overview.md:25-36``: subtract min, pack to ``ceil(log2(range))``
-bits).  Widths are rounded up to a power of two (0/1/2/4/8/16/32/64) so that no
-value straddles a 32-bit word and both pack and unpack stay fully vectorized with
-*traced* (data-dependent) widths — pack is a non-overlapping scatter-add of shifted
-contributions, unpack a single gather per element.  Width 64 is stored as two
-32-bit planes (lo, hi interleaved), which doubles as the raw fallback.
+bits).  Widths are EXACT (0..64 bits): a value shifted into place spans at most
+three 32-bit words, emitted as non-overlapping scatter-OR contributions; unpack
+reads the same three words back.  Both sides are fully vectorized with traced
+(data-dependent) widths.
 
 All functions are per-stream with static capacities; callers ``vmap`` over chunks.
 """
@@ -17,7 +16,8 @@ import jax.numpy as jnp
 
 from tpucomp.ops.parallel_lz import DUMP_SLOTS, dump_spread
 
-ALLOWED_BITS = (0, 1, 2, 4, 8, 16, 32, 64)
+# kept for format compatibility checks (any width 0..64 is now legal)
+ALLOWED_BITS = tuple(range(65))
 
 
 def bit_length(x: jax.Array) -> jax.Array:
@@ -30,7 +30,8 @@ def bit_length(x: jax.Array) -> jax.Array:
 
 
 def round_bits_pow2(b: jax.Array) -> jax.Array:
-    """Smallest allowed width >= b (allowed: 0,1,2,4,8,16,32,64)."""
+    """Smallest power-of-two-ish width >= b (0,1,2,4,8,16,32,64) — used only by
+    callers that want type-width raw storage (``use_bp=0``)."""
     out = jnp.full((), 64, jnp.int32)
     for cand in (32, 16, 8, 4, 2, 1, 0):
         out = jnp.where(b <= cand, cand, out)
@@ -40,9 +41,9 @@ def round_bits_pow2(b: jax.Array) -> jax.Array:
 def choose_width(v: jax.Array, count: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Frame-of-reference width selection over ``v[:count]``.
 
-    Returns ``(min_val, bits)`` — int64 scalar minimum and an allowed pow2 width
-    such that every ``v[i] - min_val`` fits in ``bits`` bits.  If the range
-    overflows int64 (values spanning more than 2^63), falls back to 64-bit raw.
+    Returns ``(min_val, bits)`` — int64 scalar minimum and the EXACT width such
+    that every ``v[i] - min_val`` fits in ``bits`` bits.  If the range overflows
+    int64 (values spanning more than 2^63), falls back to 64-bit raw.
     """
     v = v.astype(jnp.int64)
     idx = jnp.arange(v.shape[0])
@@ -54,8 +55,7 @@ def choose_width(v: jax.Array, count: jax.Array) -> tuple[jax.Array, jax.Array]:
     vmax = jnp.where(count > 0, vmax, 0)
     rng = vmax - vmin
     overflow = rng < 0  # int64 wraparound
-    bits = round_bits_pow2(bit_length(rng))
-    bits = jnp.where(overflow, 64, bits)
+    bits = jnp.where(overflow, 64, bit_length(rng))
     vmin = jnp.where(overflow, 0, vmin)
     return vmin, bits
 
@@ -65,48 +65,46 @@ def packed_words(count: jax.Array, bits: jax.Array) -> jax.Array:
     return ((count.astype(jnp.int64) * bits + 31) // 32).astype(jnp.int32)
 
 
+def _mask(bits: jax.Array) -> jax.Array:
+    return jnp.where(bits >= 64, jnp.uint64(0xFFFFFFFFFFFFFFFF),
+                     (jnp.uint64(1) << jnp.uint64(jnp.clip(bits, 0, 63))) - 1)
+
+
 def pack(v: jax.Array, count: jax.Array, vmin: jax.Array, bits: jax.Array,
          cap_words: int) -> jax.Array:
-    """Pack ``(v[:count] - vmin)`` at pow2 width ``bits`` into uint32 words.
+    """Pack ``(v[:count] - vmin)`` at exact width ``bits`` into uint32 words.
 
     Args:
       v: int64[cap] values (entries past ``count`` ignored).
-      cap_words: static output capacity; must be >= 2 * cap (the 64-bit case).
+      cap_words: static output capacity; must be >= 2 * cap + 2.
 
     Returns uint32[cap_words]; words past ``packed_words(count, bits)`` are zero.
     """
     cap = v.shape[0]
-    v = (v.astype(jnp.int64) - vmin)
     idx = jnp.arange(cap, dtype=jnp.int64)
     valid = idx < count
-
-    # -- widths 1..32: non-overlapping scatter-add of shifted contributions ----
     b64 = bits.astype(jnp.int64)
-    bitpos = idx * b64                       # absolute starting bit of value i
-    word_idx = (bitpos >> 5).astype(jnp.int32)
-    shift = (bitpos & 31).astype(jnp.uint32)
-    mask_le32 = jnp.where(bits >= 32, jnp.uint64(0xFFFFFFFF),
-                          (jnp.uint64(1) << jnp.uint64(jnp.maximum(bits, 0))) - 1)
-    vu = v.astype(jnp.uint64) & mask_le32
-    contrib = ((vu.astype(jnp.uint32)) << shift).astype(jnp.uint32)
-    contrib = jnp.where(valid, contrib, 0)
-    posi = jnp.arange(cap, dtype=jnp.int32)
-    word_idx = jnp.where(valid, word_idx, dump_spread(posi, cap_words))
-    words_small = jnp.zeros((cap_words + DUMP_SLOTS,), jnp.uint32).at[word_idx].add(contrib)
-    words_small = words_small[:cap_words]
 
-    # -- width 64: two interleaved 32-bit planes (== raw storage) --------------
-    vu64 = v.astype(jnp.uint64)
-    lo = (vu64 & 0xFFFFFFFF).astype(jnp.uint32)
-    hi = (vu64 >> 32).astype(jnp.uint32)
-    inter = jnp.stack([lo, hi], axis=1).reshape(-1)  # [2*cap]
-    inter = jnp.where(jnp.arange(2 * cap) < 2 * count, inter, 0)
-    if 2 * cap < cap_words:
-        inter = jnp.pad(inter, (0, cap_words - 2 * cap))
-    else:
-        inter = inter[:cap_words]
+    d = jax.lax.bitcast_convert_type(v.astype(jnp.int64) - vmin, jnp.uint64)
+    d = d & _mask(bits)
+    bitpos = idx * b64
+    widx = (bitpos >> 5).astype(jnp.int32)
+    sh = (bitpos & 31).astype(jnp.uint64)
+    a_lo = d & jnp.uint64(0xFFFFFFFF)
+    b_hi = d >> 32
+    M32 = jnp.uint64(0xFFFFFFFF)
+    w0 = ((a_lo << sh) & M32).astype(jnp.uint32)
+    w1 = (((a_lo << sh) >> 32) | ((b_hi << sh) & M32)).astype(jnp.uint32)
+    w2 = ((b_hi << sh) >> 32).astype(jnp.uint32)
 
-    return jnp.where(bits == 64, inter, words_small)
+    emit = jnp.logical_and(valid, bits > 0)
+    pos32 = jnp.arange(cap, dtype=jnp.int32)
+    words = jnp.zeros((cap_words + DUMP_SLOTS,), jnp.uint32)
+    for off_k, part in ((0, w0), (1, w1), (2, w2)):
+        tgt = jnp.where(emit, jnp.clip(widx + off_k, 0, cap_words - 1),
+                        dump_spread(pos32, cap_words))
+        words = words.at[tgt].add(part)
+    return words[:cap_words]
 
 
 def unpack(words: jax.Array, count_cap: int, bits: jax.Array,
@@ -120,17 +118,13 @@ def unpack(words: jax.Array, count_cap: int, bits: jax.Array,
     b64 = bits.astype(jnp.int64)
 
     bitpos = idx * b64
-    word_idx = jnp.clip((bitpos >> 5).astype(jnp.int32), 0, nw - 1)
-    shift = (bitpos & 31).astype(jnp.uint32)
-    mask = jnp.where(bits >= 32, jnp.uint32(0xFFFFFFFF),
-                     (jnp.uint32(1) << jnp.uint32(jnp.maximum(bits, 0))) - 1)
-    small = ((words[word_idx] >> shift) & mask).astype(jnp.uint64)
-
-    lo_idx = jnp.clip((2 * idx).astype(jnp.int32), 0, nw - 1)
-    hi_idx = jnp.clip((2 * idx + 1).astype(jnp.int32), 0, nw - 1)
-    full = (words[lo_idx].astype(jnp.uint64)
-            | (words[hi_idx].astype(jnp.uint64) << 32))
-
-    raw = jnp.where(bits == 64, full, small)
+    widx = jnp.clip((bitpos >> 5).astype(jnp.int32), 0, nw - 1)
+    sh = (bitpos & 31).astype(jnp.uint64)
+    f0 = words[widx].astype(jnp.uint64)
+    f1 = words[jnp.clip(widx + 1, 0, nw - 1)].astype(jnp.uint64)
+    f2 = words[jnp.clip(widx + 2, 0, nw - 1)].astype(jnp.uint64)
+    val = (f0 >> sh) | (f1 << (32 - sh))
+    val = jnp.where(sh > 0, val | (f2 << (64 - sh)), val)
+    raw = val & _mask(bits)
     raw = jnp.where(bits == 0, 0, raw)
-    return raw.astype(jnp.int64) + vmin
+    return jax.lax.bitcast_convert_type(raw, jnp.int64) + vmin
