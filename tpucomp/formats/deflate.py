@@ -569,7 +569,8 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: DeflateOpts,
         mlen = jnp.zeros((cap,), jnp.int32)
         moff = jnp.ones((cap,), jnp.int32)
     else:
-        mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8))
+        mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8),
+                                        ext_words=64)
         mlen = jnp.minimum(mlen, 258)        # deflate max match length
         mlen = jnp.where(moff > 32768, 0, mlen)  # deflate max distance
 

@@ -159,7 +159,7 @@ HASH_MULT = jnp.uint32(2654435761)
 
 
 def _find_matches(data: jax.Array, size: jax.Array, run_dists: tuple[int, ...],
-                  ext_words: int = 16) -> tuple[jax.Array, jax.Array]:
+                  ext_words: int = 32) -> tuple[jax.Array, jax.Array]:
     """Per-position best match (length, offset); length 0 where no legal match."""
     cap = data.shape[0]
     p = jnp.arange(cap, dtype=jnp.int32)
@@ -174,20 +174,36 @@ def _find_matches(data: jax.Array, size: jax.Array, run_dists: tuple[int, ...],
 
     w4 = word_at(p)
 
-    # ---- hash candidates: nearest earlier position with the same 4-byte window ----
+    # ---- hash candidates: K nearest earlier positions with the same 4-byte hash ---
     h = (w4 * HASH_MULT) >> jnp.uint32(17)       # 15-bit hash
     # order positions by (hash, position); neighbors in the order share a hash
     key = h.astype(jnp.int64) * cap + p.astype(jnp.int64)
     order = jnp.argsort(key).astype(jnp.int32)
-    prev_in_bucket = jnp.concatenate([jnp.full((1,), -1, jnp.int32), order[:-1]])
-    same_h = jnp.concatenate([jnp.zeros((1,), jnp.bool_),
-                              h[order[1:]] == h[order[:-1]]])
-    cand = jnp.full((cap,), -1, jnp.int32).at[order].set(
-        jnp.where(same_h, prev_in_bucket, -1))
+    K = 4
+    h_o = h[order]
 
-    cand_ok = jnp.logical_and(cand >= 0, p - cand <= MAX_OFFSET)
-    cand_ok = jnp.logical_and(cand_ok, w4 == word_at(cand))
-    cand_ok = jnp.logical_and(cand_ok, p + MIN_MATCH <= size)
+    def cand_at(j):
+        prev_j = jnp.concatenate([jnp.full((j,), -1, jnp.int32), order[:-j]])
+        same = jnp.concatenate([jnp.zeros((j,), jnp.bool_),
+                                h_o[j:] == h_o[:-j]])
+        return jnp.full((cap,), -1, jnp.int32).at[order].set(
+            jnp.where(same, prev_j, -1))
+
+    # score each candidate by an 8-byte-prefix probe, prefer longer then nearer
+    best_cand = jnp.full((cap,), -1, jnp.int32)
+    best_score = jnp.full((cap,), -1, jnp.int32)
+    for j in range(1, K + 1):
+        cj = cand_at(j)
+        okj = jnp.logical_and(cj >= 0, p - cj <= MAX_OFFSET)
+        okj = jnp.logical_and(okj, w4 == word_at(cj))
+        eq8 = word_at(p + 4) == word_at(cj + 4)
+        score = jnp.where(okj, 1 + eq8.astype(jnp.int32), -1)
+        better = score > best_score
+        best_cand = jnp.where(better, cj, best_cand)
+        best_score = jnp.where(better, score, best_score)
+    cand = best_cand
+
+    cand_ok = jnp.logical_and(cand >= 0, p + MIN_MATCH <= size)
 
     # word-granular extension beyond the first 4 bytes (rolled loop: keeps the
     # compiled graph small, which matters for remote-compile latency)

@@ -1210,7 +1210,8 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
     store_out, store_size, store_status = _encode_store(data, size, opts, out_cap)
 
     # ---- matches + greedy parse (shared machinery) --------------------------------
-    mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8))
+    mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8),
+                                    ext_words=64)
     p = jnp.arange(cap, dtype=jnp.int32)
     has_match = mlen >= 4
     nxt = jnp.where(has_match, p + mlen, p + 1)
