@@ -513,20 +513,6 @@ def _assign_codes(lens: jax.Array, max_len: int):
 # encode (fixed- and dynamic-Huffman blocks)
 # =====================================================================================
 
-def _fixed_lit_code(sym):
-    """(code, nbits) for litlen symbol under the fixed table, MSB-first value."""
-    c8 = 0x30 + sym                   # 0-143   -> 8 bits 00110000..
-    c9 = 0x190 + (sym - 144)          # 144-255 -> 9 bits
-    c7 = sym - 256                    # 256-279 -> 7 bits 0000000..
-    c8b = 0xC0 + (sym - 280)          # 280-287 -> 8 bits
-    code = jnp.where(sym < 144, c8,
-           jnp.where(sym < 256, c9,
-           jnp.where(sym < 280, c7, c8b)))
-    nbits = jnp.where(sym < 144, 8, jnp.where(sym < 256, 9,
-            jnp.where(sym < 280, 7, 8)))
-    return code, nbits
-
-
 def _rev_bits(v, n):
     """Bit-reverse the low ``n`` bits of v (Huffman codes are written MSB-first
     into the LSB-first stream)."""

@@ -128,45 +128,6 @@ def wyllie_path(nxt: jax.Array, weight: jax.Array, num_rounds: int,
     return reach, rank
 
 
-def chain_total(nxt: jax.Array, weight: jax.Array, num_rounds: int,
-                start: int = 0) -> tuple[jax.Array, jax.Array]:
-    """Sum of ``weight`` along the full chain from ``start`` and the terminal's
-    "landing" position (first value >= n reached).  Cheaper companion to
-    ``wyllie_path`` when only totals are needed."""
-    n = nxt.shape[0]
-    nxt = jnp.clip(nxt, 0, n).astype(jnp.int32)
-
-    def body(_, state):
-        pos, total, land = state
-        alive = pos < n
-        pos_safe = jnp.minimum(pos, n - 1)
-        total = total + jnp.where(alive, weight[pos_safe], 0)
-        new_pos = jnp.where(alive, nxt[pos_safe], pos)
-        land = jnp.where(alive, new_pos, land)
-        return new_pos, total, land
-
-    # Serial walk is O(chain); callers use wyllie_path for the real work — this
-    # helper exists only for small/debug cases.
-    pos, total, land = jax.lax.while_loop(
-        lambda s: s[0] < n,
-        lambda s: body(0, s),
-        (jnp.int32(start), jnp.int32(0), jnp.int32(start)))
-    return total, land
-
-
-def mark_to_segment_id(marks: jax.Array) -> jax.Array:
-    """Given bool marks of segment starts, return int32 segment ids (cumsum-1)."""
-    return jnp.cumsum(marks.astype(jnp.int32)) - 1
-
-
-def segment_owner(starts_scatter: jax.Array) -> jax.Array:
-    """Given an int32 array where position s holds the marker value for a segment
-    starting at s (and a sentinel elsewhere, typically -1 or the position itself at
-    starts), return for each position the most recent marker at or before it
-    (inclusive running max)."""
-    return jax.lax.associative_scan(jnp.maximum, starts_scatter, axis=0)
-
-
 def emit_lz_output(comp: jax.Array, reach: jax.Array, rank: jax.Array,
                    lit_start: jax.Array, ll: jax.Array, offset: jax.Array,
                    ml: jax.Array, total_out: jax.Array, out_cap: int,
