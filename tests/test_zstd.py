@@ -1,13 +1,12 @@
 """Zstd codec tests: decode vs python-zstandard at many levels, store-mode
 encode, pure-python reference decoder cross-validation, robustness.
 
-The JAX zstd decoder's XLA CPU compile takes ~1 hour (deeply nested loop state
-machine), so those tests are gated behind ``TPUCOMP_SLOW_TESTS=1``; the pure-
-python reference tests (same format logic, validated against python-zstandard)
-always run.  The JAX decoder itself was validated bit-exact against
+All tests run by default: the vectorized FSE decode-table builder (permutation
+closed form replacing the sequential spread walk) brought the decoder's XLA
+CPU compile from ~1 hour down to ~10 s, so the old ``TPUCOMP_SLOW_TESTS``
+gate is gone.  The JAX decoder is validated bit-exact against
 python-zstandard levels 1-19 across text/runs/random/mixed/columnar fixtures.
 """
-import os
 import sys
 from pathlib import Path
 
@@ -15,8 +14,7 @@ import numpy as np
 import pytest
 import zstandard
 
-slow = pytest.mark.skipif(not os.environ.get("TPUCOMP_SLOW_TESTS"),
-                          reason="zstd XLA CPU compile ~1h; set TPUCOMP_SLOW_TESTS=1")
+slow = lambda f: f  # retired gate (compile is fast now); kept as a no-op tag
 
 sys.path.insert(0, str(Path(__file__).parent))
 from zstd_pyref import decode_frame  # noqa: E402

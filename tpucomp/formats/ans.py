@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpucomp.constants import Status
 from tpucomp.ops.parallel_lz import DUMP_SLOTS, dump_spread
@@ -37,7 +38,13 @@ VERSION = 1
 N_LANES = 128
 PROB_BITS = 12
 PROB_SCALE = 1 << PROB_BITS
-RANS_L = jnp.uint32(1 << 16)
+# np scalar, NOT jnp: a module-level jax array gets a cached trace-lifted
+# tracer on jax 0.9.0; any LATER jitted entry that closes over it captures
+# the stale tracer, its constants get separated into executable arguments,
+# and the C++ dispatch fast path then re-dispatches WITHOUT them
+# ("Execution supplied 2 buffers but compiled program expected N").
+# tests/test_static_hygiene.py enforces this package-wide.
+RANS_L = np.uint32(1 << 16)
 HEADER_BYTES = 12 + 512 + 512 + 256  # fixed fields + freq + states + wcounts
 
 

@@ -34,6 +34,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpucomp.constants import ElementType, Status
 from tpucomp.ops import bitpack
@@ -61,7 +62,13 @@ class CascadedOpts:
 
 DEFAULT_OPTS = CascadedOpts()
 
-_BIG = jnp.int64(0x7FFF_FFFF_FFFF_FFFF)
+# np scalar, NOT jnp: a module-level jax array gets a cached trace-lifted
+# tracer on jax 0.9.0; any LATER jitted entry that closes over it captures
+# the stale tracer, its constants get separated into executable arguments,
+# and the C++ dispatch fast path then re-dispatches WITHOUT them
+# ("Execution supplied 2 buffers but compiled program expected N").
+# tests/test_static_hygiene.py enforces this package-wide.
+_BIG = np.int64(0x7FFF_FFFF_FFFF_FFFF)
 
 
 # =====================================================================================

@@ -41,6 +41,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpucomp.constants import ElementType, Status
 from tpucomp.ops import parallel_lz as plz
@@ -155,7 +156,13 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
 # encode
 # =====================================================================================
 
-HASH_MULT = jnp.uint32(2654435761)
+# np scalar, NOT jnp: a module-level jax array gets a cached trace-lifted
+# tracer on jax 0.9.0; any LATER jitted entry that closes over it captures
+# the stale tracer, its constants get separated into executable arguments,
+# and the C++ dispatch fast path then re-dispatches WITHOUT them
+# ("Execution supplied 2 buffers but compiled program expected N").
+# tests/test_static_hygiene.py enforces this package-wide.
+HASH_MULT = np.uint32(2654435761)
 
 
 def _find_matches(data: jax.Array, size: jax.Array, run_dists: tuple[int, ...],

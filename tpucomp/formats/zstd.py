@@ -164,59 +164,50 @@ def _fse_build_traced(norm: jax.Array, nsym: jax.Array, acc_log: jax.Array):
     """Traced version of :func:`_fse_build_np` -> (packed int32[FSE_CAP], ok).
 
     ``norm`` int32[max_sym] with -1 for less-than-1; entries >= nsym are zero.
+
+    Fully vectorized (no sequential spread loop): the spec's position walk
+    ``pos_{k+1} = (pos_k + step) mod size`` with ``step = size/2 + size/8 + 3``
+    visits ``(k * step) mod size`` — a permutation, since ``step`` is odd and
+    ``size`` a power of two.  Skipping the reserved low-probability region is a
+    filter over that permutation, and the k-th assigned symbol comes from a
+    searchsorted over the positive-count prefix sums.
     """
     max_sym = norm.shape[0]
     size = (jnp.int32(1) << acc_log).astype(jnp.int32)
     ks = jnp.arange(FSE_CAP, dtype=jnp.int32)
+    in_table = ks < size
 
-    # slots for -1 symbols at the end (in symbol order, descending position)
-    is_m1 = jnp.logical_and(norm == -1, jnp.arange(max_sym) < nsym)
-    m1_rank = jnp.cumsum(is_m1.astype(jnp.int32)) - 1
+    sym_ids = jnp.arange(max_sym, dtype=jnp.int32)
+    active = sym_ids < nsym
+    is_m1 = jnp.logical_and(norm == -1, active)
     n_m1 = jnp.sum(is_m1.astype(jnp.int32))
     high = size - 1 - n_m1
-    table_sym = jnp.zeros((FSE_CAP + 1,), jnp.int32)
-    m1_pos = jnp.where(is_m1, size - 1 - m1_rank, FSE_CAP)
-    table_sym = table_sym.at[jnp.clip(m1_pos, 0, FSE_CAP)].set(
-        jnp.arange(max_sym, dtype=jnp.int32))
+    pos_counts = jnp.where(active, jnp.maximum(norm, 0), 0)
+    cum_counts = jnp.cumsum(pos_counts)
+    total_pos = cum_counts[max_sym - 1] if max_sym > 0 else jnp.int32(0)
 
-    # spread positive symbols with the step walk (sequential by spec)
+    # -1 symbols occupy the tail slots in symbol order, descending position
+    m1_rank = jnp.cumsum(is_m1.astype(jnp.int32)) - 1
+    m1_sym_at = jnp.zeros((FSE_CAP + 1,), jnp.int32).at[
+        jnp.clip(jnp.where(is_m1, size - 1 - m1_rank, FSE_CAP), 0, FSE_CAP)].set(
+        sym_ids)
+
+    # spread walk as a filtered permutation
     step = (size >> 1) + (size >> 3) + 3
-    total_pos = jnp.sum(jnp.where(jnp.arange(max_sym) < nsym,
-                                  jnp.maximum(norm, 0), 0))
-
-    def spread_body(k, carry):
-        table_sym, pos, sym_i, cnt_left = carry
-        # advance to the symbol with remaining count
-        def adv(c):
-            si, cl = c
-            return si + 1, jnp.where(
-                si + 1 < max_sym,
-                jnp.maximum(norm[jnp.clip(si + 1, 0, max_sym - 1)], 0), 0)
-        def adv_cond(c):
-            si, cl = c
-            return jnp.logical_and(cl == 0, si < max_sym)
-        sym_i, cnt_left = jax.lax.while_loop(adv_cond, adv, (sym_i, cnt_left))
-        table_sym = table_sym.at[jnp.clip(pos, 0, FSE_CAP)].set(
-            jnp.clip(sym_i, 0, max_sym - 1))
-        cnt_left = cnt_left - 1
-        # next position, skipping the -1 region
-        def skip(p):
-            return (p + step) & (size - 1)
-        pos = skip(pos)
-        pos = jax.lax.while_loop(lambda p: p > high, skip, pos)
-        return table_sym, pos, sym_i, cnt_left
-
-    init = (table_sym, jnp.int32(0) + 0 * acc_log, jnp.int32(-1) + 0 * acc_log,
-            jnp.int32(0) + 0 * acc_log)
-    table_sym, _, _, _ = jax.lax.fori_loop(
-        0, jnp.clip(total_pos, 0, FSE_CAP), spread_body, init)
-    table_sym = table_sym[:FSE_CAP]
+    perm = (ks * step) & (size - 1)                  # position at walk index j
+    keep = jnp.logical_and(in_table, perm <= high)
+    k_of_j = jnp.cumsum(keep.astype(jnp.int32)) - 1  # assignment index
+    sym_of_k = jnp.searchsorted(cum_counts, jnp.clip(k_of_j, 0, size - 1),
+                                side="right").astype(jnp.int32)
+    sym_of_k = jnp.clip(sym_of_k, 0, max_sym - 1)
+    assigned = jnp.logical_and(keep, k_of_j < total_pos)
+    table_sym = jnp.zeros((FSE_CAP + 1,), jnp.int32).at[
+        jnp.where(assigned, perm, FSE_CAP)].set(sym_of_k)
+    table_sym = jnp.where(jnp.arange(FSE_CAP + 1) > high,
+                          m1_sym_at, table_sym)[:FSE_CAP]
 
     # per-slot nbits/baseline: rank of slot within its symbol (slot order)
-    # occurrence index via stable per-symbol counting over slots
     valid_slot = ks < size
-    # rank_in_symbol[i] = number of slots j<i with same symbol
-    # O(size * nsym) would be heavy; use sort-based ranking instead
     key = jnp.where(valid_slot, table_sym[ks], max_sym).astype(jnp.int64) * FSE_CAP + ks
     order = jnp.argsort(key).astype(jnp.int32)
     sym_sorted = table_sym[order]
@@ -225,10 +216,8 @@ def _fse_build_traced(norm: jax.Array, nsym: jax.Array, acc_log: jax.Array):
     rank_sorted = plz.prefix_run_length(same)  # 0 for first of each symbol
     rank = jnp.zeros((FSE_CAP,), jnp.int32).at[order].set(rank_sorted)
 
-    start = jnp.where(jnp.logical_and(norm == -1, jnp.arange(max_sym) < nsym), 1,
-                      jnp.maximum(norm, 0))
+    start = jnp.where(is_m1, 1, pos_counts)
     x = start[jnp.clip(table_sym, 0, max_sym - 1)] + rank
-    # nbits = acc_log - floor(log2(x))
     xl = jnp.zeros((FSE_CAP,), jnp.int32)
     for k in range(MAX_ACC_LOG + 2):
         xl = xl + ((x >> k) > 0).astype(jnp.int32)
@@ -236,8 +225,7 @@ def _fse_build_traced(norm: jax.Array, nsym: jax.Array, acc_log: jax.Array):
     base = (x << nbits) - size
     packed = table_sym | (nbits << 8) | (jnp.clip(base, 0, (1 << 15) - 1) << 16)
     packed = jnp.where(valid_slot, packed, 0)
-    ok = jnp.sum(start * 0 + jnp.where(jnp.arange(max_sym) < nsym,
-                                       jnp.abs(norm), 0)) == size
+    ok = jnp.sum(jnp.where(active, jnp.abs(norm), 0)) == size
     return packed, ok
 
 
