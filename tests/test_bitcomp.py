@@ -92,3 +92,15 @@ def test_get_decompress_size():
     comp, csz, _ = bitcomp.compress_batch(cb.data, cb.sizes, opts, cap)
     sizes = jax.vmap(bitcomp.get_decompress_size)(comp, csz)
     assert int(sizes[0]) == 2048
+
+
+def test_partial_final_chunk_roundtrip():
+    """Regression: the width-code region must be aligned on the USED subblock
+    count (derivable by the decoder from n), not the static capacity — the
+    mismatch silently corrupted every chunk shorter than the chunk size."""
+    from tpucomp import batched
+
+    for total in (200_000, 16385, 3392, 255):
+        data = synth.low_cardinality_ints(total).tobytes()[:total]
+        cb = ChunkBatch.from_bytes(data, chunk_size=16384)
+        assert batched.roundtrip_verify("bitcomp", cb), total

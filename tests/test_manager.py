@@ -16,11 +16,16 @@ from tpucomp.utils import synth
 DATA = synth.mixed_corpus(200_000, seed=21).tobytes()
 
 
-@pytest.mark.parametrize("fmt", ["lz4", "snappy", "cascaded", "ans"])
+# all 8 concrete managers of the reference (benchmarks/benchmark_hlif.cpp:188-212);
+# gzip is decompression-only and so has no manager there either
+@pytest.mark.parametrize("fmt", ["lz4", "snappy", "cascaded", "ans",
+                                 "deflate", "gdeflate", "bitcomp", "zstd"])
 def test_roundtrip_via_factory(fmt):
     data = DATA
-    if fmt == "cascaded":
+    if fmt in ("cascaded", "bitcomp"):
         data = synth.low_cardinality_ints(200_000).tobytes()
+    if fmt == "zstd":
+        data = DATA[:48_000]  # keep the zstd encoder's compile+run time modest
     mgr = Manager(fmt, chunk_size=16384)
     cfg = mgr.configure_compression(len(data))
     assert cfg.max_compressed_buffer_size > 0

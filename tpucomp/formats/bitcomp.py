@@ -190,7 +190,9 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: BitcompOpts,
             words = words.at[tgt].add(part)
         words = words[:cap_words]
 
-        codes_al = ((nsub + 3) // 4) * 4
+        # aligned on the USED subblock count (all the decoder can derive from
+        # n) — aligning on the static capacity nsub corrupted partial chunks
+        codes_al = ((n_sub_used + 3) // 4) * 4
         off_codes = HEADER_BYTES
         seeds_al = ((n_sub_used * ts + 3) // 4) * 4
         off_seeds = off_codes + codes_al
