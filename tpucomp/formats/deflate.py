@@ -556,7 +556,7 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: DeflateOpts,
         moff = jnp.ones((cap,), jnp.int32)
     else:
         mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8),
-                                        ext_words=64)
+                                        ext_words=64, n_cands=16, probe_words=12)
         mlen = jnp.minimum(mlen, 258)        # deflate max match length
         mlen = jnp.where(moff > 32768, 0, mlen)  # deflate max distance
 

@@ -166,8 +166,15 @@ HASH_MULT = np.uint32(2654435761)
 
 
 def _find_matches(data: jax.Array, size: jax.Array, run_dists: tuple[int, ...],
-                  ext_words: int = 32) -> tuple[jax.Array, jax.Array]:
-    """Per-position best match (length, offset); length 0 where no legal match."""
+                  ext_words: int = 32, n_cands: int = 4,
+                  probe_words: int = 2) -> tuple[jax.Array, jax.Array]:
+    """Per-position best match (length, offset); length 0 where no legal match.
+
+    ``n_cands`` same-hash candidates are scored by a ``4*probe_words``-byte
+    prefix probe (longer prefix, then nearer, wins); the winner is extended to
+    full length.  Higher values trade encode time for ratio — the deflate
+    ratio ladder (algo 1) uses a deeper probe than the lz4 default.
+    """
     cap = data.shape[0]
     p = jnp.arange(cap, dtype=jnp.int32)
     d32 = data.astype(jnp.uint32)
@@ -186,7 +193,7 @@ def _find_matches(data: jax.Array, size: jax.Array, run_dists: tuple[int, ...],
     # order positions by (hash, position); neighbors in the order share a hash
     key = h.astype(jnp.int64) * cap + p.astype(jnp.int64)
     order = jnp.argsort(key).astype(jnp.int32)
-    K = 4
+    K = n_cands
     h_o = h[order]
 
     def cand_at(j):
@@ -196,15 +203,19 @@ def _find_matches(data: jax.Array, size: jax.Array, run_dists: tuple[int, ...],
         return jnp.full((cap,), -1, jnp.int32).at[order].set(
             jnp.where(same, prev_j, -1))
 
-    # score each candidate by an 8-byte-prefix probe, prefer longer then nearer
+    # score each candidate by a prefix probe, prefer longer then nearer
     best_cand = jnp.full((cap,), -1, jnp.int32)
     best_score = jnp.full((cap,), -1, jnp.int32)
     for j in range(1, K + 1):
         cj = cand_at(j)
         okj = jnp.logical_and(cj >= 0, p - cj <= MAX_OFFSET)
         okj = jnp.logical_and(okj, w4 == word_at(cj))
-        eq8 = word_at(p + 4) == word_at(cj + 4)
-        score = jnp.where(okj, 1 + eq8.astype(jnp.int32), -1)
+        score = jnp.ones((cap,), jnp.int32)
+        run = jnp.full((cap,), True)
+        for w in range(1, probe_words):
+            run = jnp.logical_and(run, word_at(p + 4 * w) == word_at(cj + 4 * w))
+            score = score + run.astype(jnp.int32)
+        score = jnp.where(okj, score, -1)
         better = score > best_score
         best_cand = jnp.where(better, cj, best_cand)
         best_score = jnp.where(better, score, best_score)
