@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from tpucomp import logging as tlog
 from tpucomp.chunk import ChunkBatch
-from tpucomp.constants import Status
+from tpucomp.constants import MAX_ALLOWED_CHUNK_SIZE, REQUIRED_ALIGNMENT, Status
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +45,7 @@ class CodecSpec:
     default_opts: Any
     get_decompress_size: Callable | None = None  # vmappable (comp, comp_size) -> size
     decompression_only: bool = False  # e.g. gzip (README.md:16)
+    elem_size: Callable[[Any], int] | None = None  # typed codecs: opts -> element bytes
 
 
 _REGISTRY: dict[str, CodecSpec] = {}
@@ -102,13 +103,46 @@ def decompress_get_temp_size(fmt: str, num_chunks: int = 0,
     return 0
 
 
+def _alignment_failure(fmt: str, n: int, out_cap: int):
+    """Whole-call ``nvcompErrorAlignment`` analog (``CHANGELOG.md:15-16``)."""
+    return (ChunkBatch(data=jnp.zeros((n, out_cap), jnp.uint8),
+                       sizes=jnp.zeros((n,), jnp.int32)),
+            jnp.full((n,), Status.ERROR_ALIGNMENT, jnp.int32))
+
+
+def _input_violations(fmt: str, spec: CodecSpec, sizes: jax.Array,
+                      opts: Any) -> jax.Array:
+    """Per-chunk status overrides for invalid compression inputs (0 = valid).
+
+    Enforces the reference's per-format contracts: chunk size above
+    ``MaxAllowedChunkSize`` (``CHANGELOG.md:15,57``) and — for typed codecs —
+    chunk bytes being a multiple of the element size (the per-format input
+    validators, ``benchmark_lz4_chunked.cu:48-84``).
+    """
+    v = jnp.zeros(sizes.shape, jnp.int32)
+    max_sz = MAX_ALLOWED_CHUNK_SIZE.get(fmt)
+    if max_sz is not None:
+        v = jnp.where(sizes > max_sz,
+                      jnp.int32(Status.ERROR_CHUNK_SIZE_TOO_LARGE), v)
+    if spec.elem_size is not None:
+        es = int(spec.elem_size(opts))
+        if es > 1:
+            v = jnp.where(sizes % es != 0,
+                          jnp.int32(Status.ERROR_INVALID_VALUE), v)
+    return v
+
+
 def compress(fmt: str, batch: ChunkBatch, opts: Any = None,
              out_cap: int | None = None) -> tuple[ChunkBatch, jax.Array]:
     """Analog of ``nvcompBatched<Fmt>CompressAsync``.
 
     Returns ``(compressed_batch, statuses)``; the compressed batch's ``data`` is
     padded to ``out_cap`` (default: the format's max output chunk size) with
-    per-chunk actual sizes in ``.sizes``.
+    per-chunk actual sizes in ``.sizes``.  Invalid inputs surface as per-chunk
+    error statuses (size 0), misaligned batch/output strides as
+    ``ERROR_ALIGNMENT`` for the whole call — mirroring ``nvcompStatus_t``
+    semantics (``CHANGELOG.md:15-16``; validators in
+    ``benchmark_lz4_chunked.cu:48-84``).
     """
     spec = _get(fmt)
     if spec.decompression_only:
@@ -116,9 +150,17 @@ def compress(fmt: str, batch: ChunkBatch, opts: Any = None,
     opts = opts if opts is not None else spec.default_opts
     if out_cap is None:
         out_cap = spec.max_compressed_chunk_size(batch.max_chunk_bytes, opts)
+    align = REQUIRED_ALIGNMENT.get(fmt, 1)
+    if batch.max_chunk_bytes % align or out_cap % align:
+        return _alignment_failure(fmt, batch.num_chunks, out_cap)
     tlog.api_call(f"batched.{fmt}.compress", num_chunks=batch.num_chunks,
                   max_chunk_bytes=batch.max_chunk_bytes, out_cap=out_cap)
     out, sizes, statuses = spec.compress_batch(batch.data, batch.sizes, opts, out_cap)
+    viol = _input_violations(fmt, spec, batch.sizes, opts)
+    bad = viol != 0
+    statuses = jnp.where(bad, viol, statuses)
+    sizes = jnp.where(bad, 0, sizes)
+    out = jnp.where(bad[:, None], 0, out)
     return ChunkBatch(data=out, sizes=sizes), statuses
 
 
@@ -130,6 +172,10 @@ def decompress(fmt: str, comp: ChunkBatch,
     out-of-bounds access (reference contract ``CHANGELOG.md:160-164``).
     """
     spec = _get(fmt)
+    align = REQUIRED_ALIGNMENT.get(fmt, 1)
+    if comp.max_chunk_bytes % align:
+        return _alignment_failure(fmt, comp.num_chunks,
+                                  max_uncompressed_chunk_bytes)
     tlog.api_call(f"batched.{fmt}.decompress", num_chunks=comp.num_chunks,
                   out_cap=max_uncompressed_chunk_bytes)
     out, sizes, statuses = spec.decompress_batch(

@@ -73,11 +73,17 @@ class ChunkBatch:
     @classmethod
     def from_bytes(cls, buf: bytes | np.ndarray, chunk_size: int,
                    max_chunk_bytes: int | None = None) -> "ChunkBatch":
-        """Split one contiguous buffer into fixed-size chunks (last may be short)."""
+        """Split one contiguous buffer into fixed-size chunks (last may be short).
+
+        The slot stride is padded to a multiple of 8 — the dense-array analog of
+        the reference harness padding every chunk to 8-byte alignment
+        (``benchmark_template_chunked.cuh:181-183``) so each chunk's slot start
+        satisfies every format's ``REQUIRED_ALIGNMENT``.
+        """
         arr = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray)) \
             else np.asarray(buf, dtype=np.uint8).reshape(-1)
         n = max(1, ceil_div(arr.size, chunk_size))
-        max_b = max_chunk_bytes or chunk_size
+        max_b = round_up(max_chunk_bytes or chunk_size, 8)
         data = np.zeros((n, max_b), dtype=np.uint8)
         sizes = np.zeros((n,), dtype=np.int32)
         for i in range(n):
@@ -93,7 +99,7 @@ class ChunkBatch:
         arrs = [np.frombuffer(c, dtype=np.uint8) if isinstance(c, (bytes, bytearray))
                 else np.asarray(c, dtype=np.uint8).reshape(-1) for c in chunks]
         max_b = max_chunk_bytes or max((a.size for a in arrs), default=1)
-        max_b = max(max_b, 1)
+        max_b = round_up(max(max_b, 1), 8)  # 8 B slot alignment, as from_bytes
         data = np.zeros((len(arrs), max_b), dtype=np.uint8)
         sizes = np.zeros((len(arrs),), dtype=np.int32)
         for i, a in enumerate(arrs):

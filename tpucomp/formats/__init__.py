@@ -27,6 +27,8 @@ def register_all() -> None:
         decompress_batch=lz4.decompress_batch,
         max_compressed_chunk_size=lz4.max_compressed_chunk_size,
         default_opts=lz4.DEFAULT_OPTS,
+        get_decompress_size=lz4.get_decompress_size,
+        elem_size=lambda o: o.data_type.nbytes,
     ))
     batched.register(CodecSpec(
         name="cascaded",
@@ -35,6 +37,7 @@ def register_all() -> None:
         max_compressed_chunk_size=cascaded.max_compressed_chunk_size,
         default_opts=cascaded.DEFAULT_OPTS,
         get_decompress_size=cascaded.get_decompress_size,
+        elem_size=lambda o: o.type.nbytes,
     ))
 
     for optional in ("snappy", "ans", "crc32", "deflate", "gdeflate", "gzip",

@@ -368,4 +368,5 @@ def register(batched) -> None:
         max_compressed_chunk_size=max_compressed_chunk_size,
         default_opts=DEFAULT_OPTS,
         get_decompress_size=get_decompress_size,
+        elem_size=lambda o: o.data_type.nbytes,
     ))

@@ -17,11 +17,12 @@ Decode design (the serial part is *parse-only*, the heavy part is parallel):
      literal scatter, stored runs gathered straight from the byte-aligned
      compressed stream, LZ77 matches via the shared log-doubling copy resolve.
 
-Encode emits fixed-Huffman (BTYPE=01) blocks from the shared LZ match finder —
-valid RFC-1951 that zlib/libdeflate inflate bit-exactly (dynamic-Huffman encode
-is a planned ratio upgrade).  Streams with pathologically many blocks
-(> ~1 block per 32 output bytes) exceed the static token budget and are
-rejected with ``ERROR_CANNOT_DECOMPRESS`` rather than decoded unboundedly.
+Encode emits, per chunk, the best of stored / fixed-Huffman (BTYPE=01) /
+dynamic-Huffman (BTYPE=10, adaptive per-chunk tables) blocks from the shared LZ
+match finder — valid RFC-1951 that zlib/libdeflate inflate bit-exactly.
+Streams with pathologically many blocks (> ~1 block per 32 output bytes) exceed
+the static token budget and are rejected with ``ERROR_CANNOT_DECOMPRESS``
+rather than decoded unboundedly.
 """
 from __future__ import annotations
 
@@ -145,19 +146,17 @@ def _decode_sym(rev15, count, first, offset, sym_of_rank):
 # decode
 # =====================================================================================
 
-def decode_chunk(comp: jax.Array, comp_size: jax.Array,
-                 out_cap: int, start_byte=0) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Decode one raw-deflate stream -> (out uint8[out_cap], out_size, status).
-
-    ``start_byte`` (traced ok) lets wrappers (gzip/zlib) skip their header while
-    keeping stored-block offsets absolute; ``comp_size`` is the end of the
-    deflate data (i.e. excludes any trailer).
-    """
+def _walk_blocks(comp: jax.Array, comp_size: jax.Array, out_cap: int,
+                 start_byte, record: bool):
+    """The serial-ish part of decode: walk blocks and symbols, returning the
+    final walker state.  With ``record=False`` no token buffer is materialized
+    (parse-only — the ``GetDecompressSizeAsync`` analog)."""
     cap = comp.shape[0]
     comp_size = comp_size.astype(jnp.int32)
     start_byte = jnp.asarray(start_byte, jnp.int32)
     nbits_total = comp_size * 8
     cap_tok = out_cap + out_cap // 32 + 16
+    tok_rows = cap_tok if record else 1
     max_blocks = out_cap // 32 + 16
 
     len_base = jnp.asarray(LEN_BASE)
@@ -205,7 +204,7 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
             n_tok=jnp.int32(0) + 0 * comp_size,
             out_size=jnp.int32(0) + 0 * comp_size,
             n_blocks=jnp.int32(0) + 0 * comp_size,
-            toks=jnp.zeros((cap_tok, 3), jnp.int32) + 0 * comp_size,
+            toks=jnp.zeros((tok_rows, 3), jnp.int32) + 0 * comp_size,
         )
 
     def block_cond(st):
@@ -230,7 +229,8 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
             err2 = jnp.logical_or(err2, st["out_size"] + ln > out_cap)
             tok = jnp.array([TOK_RUN, 0, 0], jnp.int32)
             tok = tok.at[1].set(src).at[2].set(ln)
-            toks = st["toks"].at[jnp.clip(st["n_tok"], 0, cap_tok - 1)].set(tok)
+            toks = (st["toks"].at[jnp.clip(st["n_tok"], 0, tok_rows - 1)].set(tok)
+                    if record else st["toks"])
             return (bp + ln * 8, toks,
                     st["n_tok"] + jnp.where(ln > 0, 1, 0),
                     st["out_size"] + ln, err2)
@@ -356,9 +356,10 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
                 tok = jnp.stack([jnp.where(is_lit, TOK_LIT, TOK_MATCH),
                                  jnp.where(is_lit, sym, mlen),
                                  jnp.where(is_lit, 0, mdist)])
-                toks = jnp.where(emit,
-                                 toks.at[jnp.clip(n_tok, 0, cap_tok - 1)].set(tok),
-                                 toks)
+                if record:
+                    toks = jnp.where(
+                        emit, toks.at[jnp.clip(n_tok, 0, tok_rows - 1)].set(tok),
+                        toks)
                 n_tok = n_tok + emit.astype(jnp.int32)
                 out_size = out_size + jnp.where(e, 0, size)
                 e = jnp.logical_or(e, bp > nbits_total)
@@ -389,7 +390,39 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
     st = fresh_state()
     # empty input is an error (no final block)
     st = jax.lax.while_loop(block_cond, block_body, st)
-    err = jnp.logical_or(st["err"], comp_size <= start_byte)
+    st["err"] = jnp.logical_or(st["err"], comp_size <= start_byte)
+    return st
+
+
+# Parse-only size queries still need a static output bound for the walker's
+# token/budget limits; the reference's deflate decompress "can exceed 64 KB
+# output" (CHANGELOG.md:75) — 1 MiB covers any real 64 KiB-window stream.
+SIZE_QUERY_CAP = 1 << 20
+
+
+def get_decompress_size(comp: jax.Array, comp_size: jax.Array) -> jax.Array:
+    """Parse-only decompressed-size query (workflow-3 analog for deflate,
+    ``CHANGELOG.md:99-100``): walks blocks/symbols without materializing the
+    token stream.  Returns 0 for malformed streams."""
+    st = _walk_blocks(comp, comp_size, SIZE_QUERY_CAP, 0, record=False)
+    return jnp.where(st["err"], 0, st["out_size"]).astype(jnp.int32)
+
+
+def decode_chunk(comp: jax.Array, comp_size: jax.Array,
+                 out_cap: int, start_byte=0) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode one raw-deflate stream -> (out uint8[out_cap], out_size, status).
+
+    ``start_byte`` (traced ok) lets wrappers (gzip/zlib) skip their header while
+    keeping stored-block offsets absolute; ``comp_size`` is the end of the
+    deflate data (i.e. excludes any trailer).
+    """
+    cap = comp.shape[0]
+    comp_size = comp_size.astype(jnp.int32)
+    cap_tok = out_cap + out_cap // 32 + 16
+    gb = lambda o: comp[jnp.clip(o, 0, cap - 1)].astype(jnp.int32)
+
+    st = _walk_blocks(comp, comp_size, out_cap, start_byte, record=True)
+    err = st["err"]
 
     # --------------- parallel emit ---------------------------------------------------
     toks = st["toks"]
@@ -775,4 +808,5 @@ def register(batched) -> None:
         decompress_batch=decompress_batch,
         max_compressed_chunk_size=max_compressed_chunk_size,
         default_opts=DEFAULT_OPTS,
+        get_decompress_size=get_decompress_size,
     ))

@@ -56,6 +56,10 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array, out_cap: int):
     return _deflate.decode_chunk(comp, comp_size, out_cap)
 
 
+def get_decompress_size(comp: jax.Array, comp_size: jax.Array) -> jax.Array:
+    return _deflate.get_decompress_size(comp, comp_size)
+
+
 @functools.partial(jax.jit, static_argnames=("opts", "out_cap"))
 def compress_batch(data, sizes, opts: GdeflateOpts, out_cap: int):
     return jax.vmap(lambda d, s: encode_chunk(d, s, opts, out_cap))(data, sizes)
@@ -73,4 +77,5 @@ def register(batched) -> None:
         decompress_batch=decompress_batch,
         max_compressed_chunk_size=max_compressed_chunk_size,
         default_opts=DEFAULT_OPTS,
+        get_decompress_size=get_decompress_size,
     ))

@@ -78,9 +78,13 @@ def _ceil_log2(n: int) -> int:
 # decode
 # =====================================================================================
 
-def decode_chunk(comp: jax.Array, comp_size: jax.Array,
-                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Decode one LZ4 block -> (out uint8[out_cap], out_size, status)."""
+def _parse_chunk(comp: jax.Array, comp_size: jax.Array):
+    """Speculative parse + pointer jumping over one LZ4 block.
+
+    Returns ``(reach, rank, lit_start, ll, offset, ml, terminal, total_out, err)``
+    — everything both the full decode and the parse-only size query
+    (``GetDecompressSizeAsync`` analog) need.
+    """
     cap = comp.shape[0]
     pos32 = jnp.arange(cap, dtype=jnp.int32)
     comp_size = comp_size.astype(jnp.int32)
@@ -134,6 +138,23 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
     err = jnp.logical_or(err, jnp.any(bad_offset))
     err = jnp.logical_or(err, jnp.logical_and(comp_size > 0,
                                               jnp.logical_not(got_terminal)))
+    return reach, rank, lit_start, ll, offset, ml, terminal, total_out, err
+
+
+def get_decompress_size(comp: jax.Array, comp_size: jax.Array) -> jax.Array:
+    """Parse-only decompressed-size query (``nvcompBatchedLZ4GetDecompressSizeAsync``
+    analog, ``examples/low_level_quickstart_example.cpp:112-117``): the token walk
+    without the emit pass.  Returns 0 for malformed streams."""
+    _, _, _, _, _, _, _, total_out, err = _parse_chunk(comp, comp_size)
+    return jnp.where(err, 0, total_out).astype(jnp.int32)
+
+
+def decode_chunk(comp: jax.Array, comp_size: jax.Array,
+                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode one LZ4 block -> (out uint8[out_cap], out_size, status)."""
+    comp_size = comp_size.astype(jnp.int32)
+    (reach, rank, lit_start, ll, offset, ml, terminal, total_out,
+     err) = _parse_chunk(comp, comp_size)
     too_big = total_out > out_cap
     total_out = jnp.clip(total_out, 0, out_cap)
 

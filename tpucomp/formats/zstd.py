@@ -1,4 +1,4 @@
-"""Zstandard (RFC 8878) codec: full decoder + raw/RLE-block encoder.
+"""Zstandard (RFC 8878) codec: full decoder + compressed-block encoder.
 
 Analog of ``nvcompBatchedZstd*`` (decompress since 2.3, compress since 2.4;
 empty opts struct, ``benchmarks/benchmark_zstd_chunked.cu:31,54-56``;
@@ -21,10 +21,10 @@ offsets incl. the ``literal_length == 0`` special case; content checksum and
 window fields parsed (checksum skipped, not verified).  Not supported:
 dictionaries, skippable frames, multi-frame concatenation.
 
-The encoder emits valid single-frame streams of raw (store) blocks, with RLE
-blocks where a whole block is one byte — enough for API parity and guaranteed
-interop (python-zstandard decodes it); entropy-coded encoding is a planned
-upgrade.
+The encoder emits compressed blocks (4-stream Huffman literals + FSE-coded
+sequences from the shared LZ matcher) with raw-literal, RLE, and store
+fallbacks wherever those are smaller — always a valid single-frame stream that
+python-zstandard decodes bit-exactly.
 """
 from __future__ import annotations
 

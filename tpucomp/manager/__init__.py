@@ -331,6 +331,17 @@ def _compress_to_frame(spec, fmt: str, opts, cb: ChunkBatch, chunk_size: int,
     return out, total
 
 
+def _bucket_chunk_cap(raw: int) -> int:
+    """Round the data-dependent max-compressed-chunk size up to a power of two
+    (min 1 KiB) so the jitted frame-decompress program compiles O(log) times per
+    (format, chunk_size) instead of once per distinct data shape — the
+    recompile/sync-churn fix for the HLIF hot path."""
+    cap = 1024
+    while cap < raw:
+        cap <<= 1
+    return cap
+
+
 def _decompress_frame(spec, comp: jax.Array, n: int, chunk_size: int,
                       has_crc: bool, policy: ChecksumPolicy, uncomp_size: int):
     from tpucomp.formats import crc32 as c32
@@ -351,7 +362,7 @@ def _decompress_frame(spec, comp: jax.Array, n: int, chunk_size: int,
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(asz)[:-1].astype(jnp.int32)])
 
     chunk_cap = int(np.asarray(jnp.max(csz))) if n else 0  # host sync for slicing cap
-    chunk_cap = max(4, round_up(chunk_cap, 4))
+    chunk_cap = _bucket_chunk_cap(chunk_cap)
     idx = offs[:, None] + jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
     comp_chunks = comp[jnp.clip(idx, 0, cap - 1)]
     col = jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]

@@ -1,0 +1,123 @@
+"""Byte-granular VMEM copy primitives for Pallas LZ decoders.
+
+TPU vector memory is tiled (rows of 128 lanes); LZ formats need unaligned,
+byte-granular copies.  These helpers implement the classic "wild copy" used by
+fast LZ4/Snappy decoders (copy in fixed 128-byte vector blocks, overshooting
+the end; later writes overwrite the junk), built from two lane-rolls and a
+blend per block — no gathers, no scatters, no DMA-engine round trips.
+
+Byte arrays are stored one byte per int32 lane, shaped ``(1, rows, 128)`` so
+the byte index splits into a dynamic *sublane* index (supported by Mosaic) and
+a lane rotation (``pltpu.roll`` with a dynamic shift).
+
+Invariants callers must uphold:
+  * the row arrays are padded so reads/writes up to ``pos + 2*BLK`` stay in
+    bounds (see ``PAD_BYTES``);
+  * same-buffer multi-block copies require ``dst - src >= BLK`` (use
+    :func:`copy_pattern` for closer overlaps — it amplifies the period first).
+
+The single-block copy is always overlap-safe: the full 128-byte window is read
+before anything is written.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLK = 128
+# Wild stores write at most BLK-1 junk bytes past the last block, and the last
+# block itself may start BLK-1 bytes before pos+n; amplification in
+# copy_pattern adds one more block of slack.
+PAD_BYTES = 4 * BLK
+
+_LANES = None
+
+
+def _lanes():
+    return jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+
+
+def window128(ref, pos):
+    """Load the 128 bytes starting at byte ``pos`` as an int32 ``(1, 128)`` row.
+
+    ``ref`` is ``(1, rows, 128)`` int32 (one byte per lane).  Reads rows
+    ``pos>>7`` and ``pos>>7 + 1``; caller guarantees both exist.
+    """
+    r = pos >> 7
+    so = pos & (BLK - 1)
+    rows = ref[0, pl.ds(r, 2), :]
+    sh = jnp.remainder(-so, BLK)
+    a = pltpu.roll(rows[0:1, :], sh, axis=1)  # a[l] = row0[(l+so) % 128]
+    b = pltpu.roll(rows[1:2, :], sh, axis=1)
+    return jnp.where(_lanes() < BLK - so, a, b)
+
+
+def store128_wild(ref, pos, v):
+    """Store 128 bytes ``v`` (``(1,128)`` int32) at byte ``pos``, wild.
+
+    Bytes before ``pos`` in the first row are preserved (read-modify-write
+    blend — safe: a Pallas program is single-threaded).  The second row is
+    written in full; its lanes beyond the 128 copied bytes receive junk that
+    lies strictly after ``pos+127`` and will be overwritten by later stores or
+    masked off by the caller.
+    """
+    r = pos >> 7
+    o = pos & (BLK - 1)
+    w = pltpu.roll(v, o, axis=1)  # w[l] = v[(l - o) % 128]
+    lanes = _lanes()
+    old = ref[0, pl.ds(r, 1), :]
+    ref[0, pl.ds(r, 1), :] = jnp.where(lanes >= o, w, old)
+    ref[0, pl.ds(r + 1, 1), :] = w
+
+
+def copy_bytes(src_ref, dst_ref, src, dst, n):
+    """Copy ``n`` bytes from ``src_ref@src`` to ``dst_ref@dst`` in 128-byte
+    wild blocks.  If ``src_ref is dst_ref`` and more than one block is copied,
+    requires ``dst - src >= BLK`` (each block's reads then stay strictly below
+    the write frontier)."""
+    nb = (n + BLK - 1) >> 7
+
+    def body(k, _):
+        v = window128(src_ref, src + k * BLK)
+        store128_wild(dst_ref, dst + k * BLK, v)
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0, unroll=False)
+
+
+def copy_pattern(ref, op, offset, n):
+    """Self-overlapping LZ77 match copy: write ``n`` bytes at ``op`` replicating
+    the period-``offset`` pattern that ends at ``op`` (``0 < offset < BLK``).
+
+    Phase 1 amplifies the valid pattern span from ``offset`` to >= 2*BLK bytes
+    by log-doubling single-block copies (each reads fully before writing, so
+    any overlap is safe).  Phase 2 block-copies the remainder at displacement
+    ``D = ceil(BLK/offset)*offset`` — a multiple of the period that is >= BLK,
+    so the multi-block precondition of :func:`copy_bytes` holds.
+
+    All amplification writes land at or after ``op`` (the match's own output
+    region or wild slack past it); nothing before ``op`` is clobbered.
+    """
+    m0 = op - offset
+
+    def amp_cond(v):
+        return jnp.logical_and(v < 2 * BLK, m0 + v < op + n)
+
+    def amp_body(v):
+        w = window128(ref, m0)
+        store128_wild(ref, m0 + v, w)
+        return v * 2
+
+    span = jax.lax.while_loop(amp_cond, amp_body, offset)
+    # valid pattern now covers [m0, m0 + min(span, 2*BLK)); the match region
+    # [op, op + written) is already correct, where written = span - offset.
+    written = jnp.minimum(span - offset, n)
+    d = ((BLK + offset - 1) // offset) * offset
+    remaining = n - written
+    jax.lax.cond(
+        remaining > 0,
+        lambda: copy_bytes(ref, ref, op + written - d, op + written, remaining),
+        lambda: None,
+    )
