@@ -43,6 +43,8 @@ def main() -> None:
     ap.add_argument("--chunk-kb", type=int, default=64)
     ap.add_argument("--batch-chunks", type=int, default=8)
     ap.add_argument("--skip-compress", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="decode through the Pallas kernel path (lz4/ans)")
     ap.add_argument("--with-compress", action="store_true",
                     help="force the compress measurement even on the axon tunnel")
     args = ap.parse_args()
@@ -72,6 +74,11 @@ def main() -> None:
     spec = batched._get(fmt)
     opts = spec.default_opts
     cap = spec.max_compressed_chunk_size(chunk, opts)
+    dec_batch = spec.decompress_batch
+    if args.pallas:
+        from tpucomp.ops.pallas import PALLAS_DECODERS
+        dec_batch = PALLAS_DECODERS[fmt]
+        log(f"decode path: Pallas kernel ({fmt})")
 
     corpus = synth.mixed_corpus(mb << 20, seed=42).tobytes()
     chunks = [corpus[o:o + chunk] for o in range(0, len(corpus), chunk)]
@@ -125,7 +132,7 @@ def main() -> None:
 
     @jax.jit
     def dec_fn(c, z):
-        return jax.lax.map(lambda t: spec.decompress_batch(t[0], t[1], chunk),
+        return jax.lax.map(lambda t: dec_batch(t[0], t[1], chunk),
                            (c, z))
 
     @jax.jit
@@ -135,7 +142,7 @@ def main() -> None:
         def body(i, carry):
             z, acc = carry
             dec, dsz, dst = jax.lax.map(
-                lambda t: spec.decompress_batch(t[0], t[1], chunk), (c, z))
+                lambda t: dec_batch(t[0], t[1], chunk), (c, z))
             sm = (jnp.sum(dec.astype(jnp.int32)) + jnp.sum(dst)
                   + jnp.sum(dsz)).astype(jnp.int32)
             return (z + sm * 0).astype(jnp.int32), (acc + sm).astype(jnp.int32)

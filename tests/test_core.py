@@ -22,7 +22,9 @@ class TestChunkBatch:
         chunks = [b"hello", b"", b"a" * 100]
         cb = ChunkBatch.from_chunks(chunks)
         assert cb.chunk_list() == chunks
-        assert cb.max_chunk_bytes == 100
+        # slot stride is rounded up to 8 B (the harness's chunk alignment,
+        # benchmark_template_chunked.cuh:181-183)
+        assert cb.max_chunk_bytes == 104
 
     def test_zero_byte_batch(self):
         cb = ChunkBatch.from_bytes(b"", chunk_size=64)

@@ -1,0 +1,122 @@
+"""Pallas LZ4 decoder vs the liblz4 oracle and the XLA decode path.
+
+Interpreter mode on CPU (hermetic); the same kernel compiles for real on the
+TPU backend (exercised by ``bench.py --codec lz4 --pallas``).
+"""
+import numpy as np
+import pytest
+
+from tpucomp.chunk import ChunkBatch
+from tpucomp.constants import Status
+from tpucomp.formats import lz4 as flz4
+from tpucomp.interop import cpu as interop
+from tpucomp.ops.pallas import lz4_decode
+from tpucomp.utils import synth
+
+HAVE_LZ4 = interop.available().get("lz4", False)
+
+
+def _decode(chunks: list[bytes], out_cap: int):
+    cb = ChunkBatch.from_chunks(chunks)
+    out, osz, stat = lz4_decode.decompress_batch(
+        cb.data, cb.sizes, out_cap, interpret=True)
+    return np.asarray(out), np.asarray(osz), np.asarray(stat)
+
+
+@pytest.mark.skipif(not HAVE_LZ4, reason="liblz4 missing")
+def test_foreign_streams_bit_exact():
+    rng = np.random.default_rng(7)
+    raws = [
+        b"hello world, hello world, hello world!" * 40,
+        bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),   # low entropy
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),  # incompressible
+        b"\x00" * 3000,                                    # RLE (offset 1)
+        b"ab" * 1500,                                      # offset 2
+        b"abcdefg" * 400,                                  # offset 7 (< BLK)
+        (b"0123456789abcdef" * 20)[:300] * 12,             # offset 300 (> BLK)
+        b"x",
+        b"",
+    ]
+    comp = [interop.lz4_compress(r) for r in raws]
+    out_cap = 8192
+    out, osz, stat = _decode(comp, out_cap)
+    for i, r in enumerate(raws):
+        assert stat[i] == Status.SUCCESS, (i, stat[i])
+        assert osz[i] == len(r), (i, osz[i], len(r))
+        assert out[i, :len(r)].tobytes() == r, i
+
+
+@pytest.mark.skipif(not HAVE_LZ4, reason="liblz4 missing")
+def test_hc_streams_and_mixed_corpus():
+    buf = synth.mixed_corpus(60_000, seed=11).tobytes()
+    chunks = [buf[i:i + 8192] for i in range(0, len(buf), 8192)]
+    comp = [interop.lz4_compress(c, hc_level=9) for c in chunks]
+    out, osz, stat = _decode(comp, 8192)
+    for i, c in enumerate(chunks):
+        assert stat[i] == Status.SUCCESS
+        assert out[i, :len(c)].tobytes() == c
+
+
+def test_own_encoder_round_trip():
+    buf = synth.mixed_corpus(30_000, seed=5).tobytes()
+    cb = ChunkBatch.from_bytes(buf, chunk_size=4096)
+    cout, csz, cstat = flz4.compress_batch(
+        cb.data, cb.sizes, flz4.DEFAULT_OPTS,
+        flz4.max_compressed_chunk_size(cb.max_chunk_bytes))
+    assert (np.asarray(cstat) == 0).all()
+    out, osz, stat = lz4_decode.decompress_batch(cout, csz, 4096, interpret=True)
+    out, osz, stat = map(np.asarray, (out, osz, stat))
+    sizes = np.asarray(cb.sizes)
+    for i in range(cb.num_chunks):
+        assert stat[i] == Status.SUCCESS
+        assert osz[i] == sizes[i]
+    assert np.asarray(out).reshape(-1)[:len(buf)].tobytes() == buf
+
+
+def test_matches_xla_path_on_random_tokens():
+    """Pallas and XLA decoders agree (output, size, status) on valid streams."""
+    rng = np.random.default_rng(3)
+    raws = [bytes(rng.integers(0, k, 2000, dtype=np.uint8)) for k in (2, 8, 256)]
+    if HAVE_LZ4:
+        comp = [interop.lz4_compress(r) for r in raws]
+    else:
+        cb = ChunkBatch.from_chunks(raws)
+        co, cs, _ = flz4.compress_batch(cb.data, cb.sizes, flz4.DEFAULT_OPTS,
+                                        flz4.max_compressed_chunk_size(2048))
+        co, cs = np.asarray(co), np.asarray(cs)
+        comp = [co[i, :cs[i]].tobytes() for i in range(len(raws))]
+    cb = ChunkBatch.from_chunks(comp)
+    p_out, p_sz, p_st = map(np.asarray, lz4_decode.decompress_batch(
+        cb.data, cb.sizes, 2048, interpret=True))
+    x_out, x_sz, x_st = map(np.asarray, flz4.decompress_batch(
+        cb.data, cb.sizes, 2048))
+    assert (p_st == x_st).all()
+    assert (p_sz == x_sz).all()
+    assert (p_out == x_out).all()
+
+
+def test_corrupt_inputs_error_not_crash():
+    rng = np.random.default_rng(9)
+    bad = [
+        b"\xff" * 64,                       # runaway literal length
+        b"\x10",                            # literal without data
+        b"\x04abcd\x00\x00",                # offset 0
+        b"\x04abcd\xff\xff\x04abcd",        # offset beyond output
+        bytes(rng.integers(0, 256, 128, dtype=np.uint8)),
+    ]
+    out, osz, stat = _decode(bad, 4096)
+    for i in range(len(bad)):
+        if stat[i] != Status.SUCCESS:
+            assert osz[i] == 0
+    # runaway-literal and offset-0 streams must fail
+    assert stat[0] == Status.ERROR_CANNOT_DECOMPRESS
+    assert stat[2] == Status.ERROR_CANNOT_DECOMPRESS
+
+
+@pytest.mark.skipif(not HAVE_LZ4, reason="liblz4 missing")
+def test_output_buffer_too_small():
+    raw = b"tpucomp " * 600
+    comp = interop.lz4_compress(raw)
+    out, osz, stat = _decode([comp], 1024)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0

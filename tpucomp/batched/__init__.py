@@ -121,8 +121,10 @@ def _input_violations(fmt: str, spec: CodecSpec, sizes: jax.Array,
     """
     v = jnp.zeros(sizes.shape, jnp.int32)
     max_sz = MAX_ALLOWED_CHUNK_SIZE.get(fmt)
-    if max_sz is not None:
-        v = jnp.where(sizes > max_sz,
+    # guard int32 weak-type wrap: a bound >= 2^31 (ANS's 2^32-1) would be cast
+    # into the int32 comparison and wrap negative, flagging every chunk
+    if max_sz is not None and max_sz < 2**31:
+        v = jnp.where(sizes > jnp.int32(max_sz),
                       jnp.int32(Status.ERROR_CHUNK_SIZE_TOO_LARGE), v)
     if spec.elem_size is not None:
         es = int(spec.elem_size(opts))

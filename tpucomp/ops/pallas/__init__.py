@@ -1,0 +1,27 @@
+"""Pallas/Mosaic TPU kernels — the L1 kernel layer of the framework.
+
+The XLA codec programs in :mod:`tpucomp.formats` are the default batched path
+(fully parallel log-depth passes).  The kernels here are the serial-parse /
+VMEM-resident alternatives, the analog of the reference's dedicated CUDA
+kernels (one threadblock per chunk, ``doc/algorithms_overview.md:50-52``):
+
+- :mod:`.bytecopy` — 128-byte wild-copy primitives (lane-roll + blend).
+- :mod:`.lz4_decode` — LZ4 block decoder (SMEM token walk + VPU copies).
+
+``PALLAS_DECODERS`` maps format name -> drop-in replacement for the
+registry's ``decompress_batch`` (same signature/semantics); ``bench.py
+--pallas`` and the tests select the backend explicitly.  On CPU the kernels
+run in interpreter mode (pass ``interpret=True``); on the axon TPU tunnel set
+``PALLAS_AXON_REMOTE_COMPILE=1``.
+"""
+from __future__ import annotations
+
+
+def _lz4_decompress_batch(comp, comp_sizes, out_cap):
+    from tpucomp.ops.pallas import lz4_decode
+    return lz4_decode.decompress_batch(comp, comp_sizes, out_cap)
+
+
+PALLAS_DECODERS = {
+    "lz4": _lz4_decompress_batch,
+}

@@ -48,7 +48,10 @@ def window128(ref, pos):
     r = pos >> 7
     so = pos & (BLK - 1)
     rows = ref[0, pl.ds(r, 2), :]
-    sh = jnp.remainder(-so, BLK)
+    # jnp.int32 divisor: a bare Python 128 becomes an i64 constant under the
+    # package-wide x64 mode, and Mosaic cannot lower i64 (its i64->i32 cast
+    # helper recurses infinitely).
+    sh = jnp.remainder(-so, jnp.int32(BLK))
     a = pltpu.roll(rows[0:1, :], sh, axis=1)  # a[l] = row0[(l+so) % 128]
     b = pltpu.roll(rows[1:2, :], sh, axis=1)
     return jnp.where(_lanes() < BLK - so, a, b)
@@ -79,12 +82,15 @@ def copy_bytes(src_ref, dst_ref, src, dst, n):
     the write frontier)."""
     nb = (n + BLK - 1) >> 7
 
-    def body(k, _):
+    def body(k, carry):
         v = window128(src_ref, src + k * BLK)
         store128_wild(dst_ref, dst + k * BLK, v)
-        return 0
+        return carry
 
-    jax.lax.fori_loop(0, nb, body, 0, unroll=False)
+    # int32 carry/bounds throughout: the package enables jax x64, and a bare
+    # Python-int carry would become int64 — which the Mosaic lowering cannot
+    # convert (its int64->int32 helper recurses infinitely).
+    jax.lax.fori_loop(jnp.int32(0), nb, body, jnp.int32(0), unroll=False)
 
 
 def copy_pattern(ref, op, offset, n):
@@ -108,7 +114,10 @@ def copy_pattern(ref, op, offset, n):
     def amp_body(v):
         w = window128(ref, m0)
         store128_wild(ref, m0 + v, w)
-        return v * 2
+        # the 128-byte store extends the valid pattern span by min(v, BLK)
+        # bytes, NOT to 2*v: window128 reads only 128 bytes, so once v > BLK
+        # a single store appends at most BLK new valid bytes.
+        return v + jnp.minimum(v, BLK)
 
     span = jax.lax.while_loop(amp_cond, amp_body, offset)
     # valid pattern now covers [m0, m0 + min(span, 2*BLK)); the match region
