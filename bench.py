@@ -43,8 +43,9 @@ def main() -> None:
     ap.add_argument("--chunk-kb", type=int, default=64)
     ap.add_argument("--batch-chunks", type=int, default=8)
     ap.add_argument("--skip-compress", action="store_true")
-    ap.add_argument("--pallas", action="store_true",
-                    help="decode through the Pallas kernel path (lz4/ans)")
+    ap.add_argument("--backend", default="auto", choices=["auto", "xla", "pallas"],
+                    help="decode path: auto = Pallas kernel on TPU when the "
+                         "format has one, else fused-XLA program")
     ap.add_argument("--with-compress", action="store_true",
                     help="force the compress measurement even on the axon tunnel")
     args = ap.parse_args()
@@ -74,11 +75,11 @@ def main() -> None:
     spec = batched._get(fmt)
     opts = spec.default_opts
     cap = spec.max_compressed_chunk_size(chunk, opts)
-    dec_batch = spec.decompress_batch
-    if args.pallas:
-        from tpucomp.ops.pallas import PALLAS_DECODERS
-        dec_batch = PALLAS_DECODERS[fmt]
+    dec_batch = batched._decode_fn(fmt, spec, args.backend)
+    if dec_batch is not spec.decompress_batch:
         log(f"decode path: Pallas kernel ({fmt})")
+    else:
+        log(f"decode path: fused XLA ({fmt})")
 
     corpus = synth.mixed_corpus(mb << 20, seed=42).tobytes()
     chunks = [corpus[o:o + chunk] for o in range(0, len(corpus), chunk)]

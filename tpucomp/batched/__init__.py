@@ -166,12 +166,41 @@ def compress(fmt: str, batch: ChunkBatch, opts: Any = None,
     return ChunkBatch(data=out, sizes=sizes), statuses
 
 
-def decompress(fmt: str, comp: ChunkBatch,
-               max_uncompressed_chunk_bytes: int) -> tuple[ChunkBatch, jax.Array]:
+def _decode_fn(fmt: str, spec: CodecSpec, backend: str) -> Callable:
+    """Resolve the decode implementation for ``backend``.
+
+    ``"auto"`` picks the Pallas kernel when one exists for ``fmt`` and the
+    default JAX backend is a real TPU (the analog of the reference's dedicated
+    CUDA kernels being the only path); otherwise the fused-XLA program.
+    ``TPUCOMP_DECODE_BACKEND`` overrides the auto choice.
+    """
+    import os
+    from tpucomp.ops import pallas as pk
+    if backend == "auto":
+        backend = os.environ.get("TPUCOMP_DECODE_BACKEND", "auto")
+    if backend == "auto":
+        backend = ("pallas" if fmt in pk.PALLAS_DECODERS
+                   and jax.default_backend() == "tpu" else "xla")
+    if backend == "pallas":
+        try:
+            return pk.PALLAS_DECODERS[fmt]
+        except KeyError:
+            raise ValueError(f"no Pallas decoder for {fmt!r}; "
+                             f"available: {sorted(pk.PALLAS_DECODERS)}") from None
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r} (auto/xla/pallas)")
+    return spec.decompress_batch
+
+
+def decompress(fmt: str, comp: ChunkBatch, max_uncompressed_chunk_bytes: int,
+               backend: str = "auto") -> tuple[ChunkBatch, jax.Array]:
     """Analog of ``nvcompBatched<Fmt>DecompressAsync``.
 
     Corrupt chunks yield status ``ERROR_CANNOT_DECOMPRESS`` and size 0 — never an
     out-of-bounds access (reference contract ``CHANGELOG.md:160-164``).
+
+    ``backend``: ``"auto"`` (Pallas kernel on TPU when available, else XLA),
+    ``"xla"``, or ``"pallas"`` (interpreter mode off-TPU).
     """
     spec = _get(fmt)
     align = REQUIRED_ALIGNMENT.get(fmt, 1)
@@ -179,8 +208,8 @@ def decompress(fmt: str, comp: ChunkBatch,
         return _alignment_failure(fmt, comp.num_chunks,
                                   max_uncompressed_chunk_bytes)
     tlog.api_call(f"batched.{fmt}.decompress", num_chunks=comp.num_chunks,
-                  out_cap=max_uncompressed_chunk_bytes)
-    out, sizes, statuses = spec.decompress_batch(
+                  out_cap=max_uncompressed_chunk_bytes, backend=backend)
+    out, sizes, statuses = _decode_fn(fmt, spec, backend)(
         comp.data, comp.sizes, max_uncompressed_chunk_bytes)
     return ChunkBatch(data=out, sizes=sizes), statuses
 

@@ -18,8 +18,13 @@ from __future__ import annotations
 
 
 def _lz4_decompress_batch(comp, comp_sizes, out_cap):
+    import jax
     from tpucomp.ops.pallas import lz4_decode
-    return lz4_decode.decompress_batch(comp, comp_sizes, out_cap)
+    # Mosaic compiles on TPU only; elsewhere (CPU test meshes) run the kernel
+    # in the Pallas interpreter so the same code path stays testable hermetically
+    interpret = jax.default_backend() != "tpu"
+    return lz4_decode.decompress_batch(comp, comp_sizes, out_cap,
+                                       interpret=interpret)
 
 
 PALLAS_DECODERS = {
