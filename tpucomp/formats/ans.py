@@ -13,13 +13,18 @@ Design (standard interleaved rANS a la ryg_rans, vectorized the TPU way):
     ``ceil(chunk/128)`` steps of fully vectorized work.
   * 32-bit states, 16-bit renormalization, 12-bit quantized frequencies
     (emission is at most one u16 per symbol, so buffer bounds are static).
-  * Each lane writes its own stream region (reversed, so the decoder reads
-    forward); regions are compacted by prefix-summed lane word counts.
+  * All lanes share ONE interleaved word stream in exactly the order the
+    decoder consumes it (step-major, lane-minor) — the classic SIMD-rANS
+    layout.  The decoder then renormalizes every lane from one shared cursor:
+    the words needed at a step are a contiguous window distributed to lanes by
+    rank, which vectorizes on the VPU/MXU (no per-lane stream pointers, no
+    gathers) — this is what makes the Pallas kernel
+    (:mod:`tpucomp.ops.pallas.ans_decode`) fast.
 
-Chunk format (little-endian):
-  u8 magic=0xA5, u8 version=1, u16 reserved, u32 size, u32 total_words,
-  u16 freq[256] (12-bit quantized, sum=4096), u32 state[128], u16 wcount[128],
-  then the concatenated per-lane u16 streams.
+Chunk format v2 (little-endian):
+  u8 magic=0xA5, u8 version=2, u16 reserved, u32 size, u32 total_words,
+  u16 freq[256] (12-bit quantized, sum=4096), u32 state[128], u16 wcount[128]
+  (per-lane totals, validation only), then the shared interleaved u16 stream.
 """
 from __future__ import annotations
 
@@ -34,7 +39,7 @@ from tpucomp.constants import Status
 from tpucomp.ops.parallel_lz import DUMP_SLOTS, dump_spread
 
 MAGIC = 0xA5
-VERSION = 1
+VERSION = 2  # v2: shared interleaved stream (step-major); v1 per-lane regions
 N_LANES = 128
 PROB_BITS = 12
 PROB_SCALE = 1 << PROB_BITS
@@ -157,19 +162,18 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ANSOpts,
     words_dec = words_rev[::-1]      # [T, N_LANES] in decode order
     emits_dec = emits_rev[::-1]
 
-    # per-lane compaction into [N_LANES, T] then flatten at lane offsets
-    words_l = words_dec.T            # [N_LANES, T]
-    emits_l = emits_dec.T
-    idx_in_lane = jnp.cumsum(emits_l.astype(jnp.int32), axis=1) - 1
-    lane_words = jnp.sum(emits_l.astype(jnp.int32), axis=1)
-    lane_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                jnp.cumsum(lane_words)[:-1].astype(jnp.int32)])
+    # shared-stream compaction in decode order (step-major, lane-minor): the
+    # row-major flattening of [T, N_LANES] IS the order the decoder's shared
+    # cursor consumes words in (rank-among-needing-lanes = ascending lane)
+    emits_flat = emits_dec.reshape(-1)
+    words_flat = words_dec.reshape(-1)
+    lane_words = jnp.sum(emits_dec.astype(jnp.int32), axis=0)  # validation
     total_words = jnp.sum(lane_words)
     # scatter-free stream compaction: sort (slot<<16 | word) packed keys
-    flat_idx = jnp.where(emits_l, lane_off[:, None] + idx_in_lane,
-                         jnp.int32(1 << 24))
-    packed = (flat_idx.astype(jnp.int64) << 16) | words_l.astype(jnp.int64)
-    packed = jnp.sort(packed.reshape(-1))[:T * N_LANES]
+    pos_in_stream = jnp.cumsum(emits_flat.astype(jnp.int32)) - 1
+    flat_idx = jnp.where(emits_flat, pos_in_stream, jnp.int32(1 << 24))
+    packed = (flat_idx.astype(jnp.int64) << 16) | words_flat.astype(jnp.int64)
+    packed = jnp.sort(packed)[:T * N_LANES]
     stream = (packed & 0xFFFF).astype(jnp.uint32)
 
     # ---- serialize -----------------------------------------------------------------
@@ -244,9 +248,6 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
                    .astype(jnp.int32))
     sym_of_slot = jnp.clip(sym_of_slot, 0, 255)
 
-    lane_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                jnp.cumsum(lane_words)[:-1].astype(jnp.int32)])
-
     freq_u = freq.astype(jnp.uint32)
     cum_u = cum.astype(jnp.uint32)
 
@@ -255,7 +256,7 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
         return (gb(o) | (gb(o + 1) << 8)).astype(jnp.uint32)
 
     def step(carry, t):
-        x, ptr = carry
+        x, ptr, consumed = carry
         posn = t * N_LANES + kl
         act = posn < size_c
         s_idx = (x & jnp.uint32(PROB_SCALE - 1)).astype(jnp.int32)
@@ -264,23 +265,28 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
         c = cum_u[s]
         x_new = f * (x >> jnp.uint32(PROB_BITS)) + x % jnp.uint32(PROB_SCALE) - c
         need = jnp.logical_and(act, x_new < RANS_L)
-        w = read_word(jnp.clip(ptr, 0, jnp.maximum(total_words - 1, 0)))
+        # shared interleaved stream: needing lanes take the next words from
+        # one cursor, distributed by rank (ascending lane order)
+        rank = (jnp.cumsum(need.astype(jnp.int32)) - need).astype(jnp.int32)
+        w = read_word(jnp.clip(ptr + rank, 0, jnp.maximum(total_words - 1, 0)))
         x_new = jnp.where(need, (x_new << 16) | w, x_new)
-        ptr_new = ptr + need.astype(jnp.int32)
+        ptr_new = (ptr + jnp.sum(need, dtype=jnp.int32)).astype(jnp.int32)
         x = jnp.where(act, x_new, x)
         out_byte = jnp.where(act, s, 0).astype(jnp.uint8)
-        return (x, ptr_new), out_byte
+        return (x, ptr_new, consumed + need.astype(jnp.int32)), out_byte
 
-    init = (state0, lane_off)
-    (x_fin, ptr_fin), bytes_tl = jax.lax.scan(step, init, jnp.arange(T, dtype=jnp.int32))
+    init = (state0, jnp.int32(0), jnp.zeros((N_LANES,), jnp.int32))
+    (x_fin, ptr_fin, consumed), bytes_tl = jax.lax.scan(
+        step, init, jnp.arange(T, dtype=jnp.int32))
     # bytes_tl is [T, N_LANES]; position p = t*N_LANES + lane
     out_flat = bytes_tl.reshape(-1)[:out_cap]
 
-    # sanity: every lane must end back at the initial state and have consumed
-    # exactly its own words
-    ok = jnp.logical_and(ok, jnp.all(jnp.where(lane_words >= 0, True, False)))
+    # sanity: every lane must end back at the initial state, the shared cursor
+    # must land exactly on total_words, and per-lane consumption must match
+    # the header's (validation-only) wcounts
     ok = jnp.logical_and(ok, jnp.all(x_fin == RANS_L) | (size_c == 0))
-    ok = jnp.logical_and(ok, jnp.all(ptr_fin == lane_off + lane_words) | (size_c == 0))
+    ok = jnp.logical_and(ok, (ptr_fin == total_words) | (size_c == 0))
+    ok = jnp.logical_and(ok, jnp.all(consumed == lane_words) | (size_c == 0))
 
     out_size = jnp.where(ok, size_c, 0).astype(jnp.int32)
     out = jnp.where(jnp.arange(out_cap) < out_size, out_flat, 0).astype(jnp.uint8)

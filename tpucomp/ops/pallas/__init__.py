@@ -7,6 +7,8 @@ kernels (one threadblock per chunk, ``doc/algorithms_overview.md:50-52``):
 
 - :mod:`.bytecopy` — 128-byte wild-copy primitives (lane-roll + blend).
 - :mod:`.lz4_decode` — LZ4 block decoder (SMEM token walk + VPU copies).
+- :mod:`.ans_decode` — rANS decoder (fully vectorized: compare/one-hot table
+  lookups + f32 matmul word distribution; no gathers, no scalar walk).
 
 ``PALLAS_DECODERS`` maps format name -> drop-in replacement for the
 registry's ``decompress_batch`` (same signature/semantics); ``bench.py
@@ -27,6 +29,15 @@ def _lz4_decompress_batch(comp, comp_sizes, out_cap):
                                        interpret=interpret)
 
 
+def _ans_decompress_batch(comp, comp_sizes, out_cap):
+    import jax
+    from tpucomp.ops.pallas import ans_decode
+    interpret = jax.default_backend() != "tpu"
+    return ans_decode.decompress_batch(comp, comp_sizes, out_cap,
+                                       interpret=interpret)
+
+
 PALLAS_DECODERS = {
     "lz4": _lz4_decompress_batch,
+    "ans": _ans_decompress_batch,
 }
