@@ -1,7 +1,23 @@
 #!/usr/bin/env python
-"""Chunked deflate benchmark (analog of benchmarks/benchmark_deflate_chunked.cu)."""
+"""Chunked deflate benchmark (analog of ``benchmarks/benchmark_deflate_chunked.cu``).
+
+Per-format flag: ``-a/--algorithm`` 0/1/2 — the speed/ratio ladder
+(``benchmark_deflate_chunked.cu:42,55-58``).
+"""
+import argparse
 import sys
+
 from tpucomp.bench import main_template
+from tpucomp.formats.deflate import DeflateOpts
+
+
+def parse_opts(extra):
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("-a", "--algorithm", type=int, default=0, choices=[0, 1, 2])
+    args, rest = ap.parse_known_args(extra)
+    assert not rest, f"unknown arguments: {rest}"
+    return DeflateOpts(algo=args.algorithm)
+
 
 if __name__ == "__main__":
-    main_template("deflate", sys.argv[1:])
+    main_template("deflate", sys.argv[1:], parse_opts)

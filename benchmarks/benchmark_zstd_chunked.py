@@ -1,7 +1,18 @@
 #!/usr/bin/env python
-"""Chunked zstd benchmark (analog of benchmarks/benchmark_zstd_chunked.cu)."""
+"""Chunked zstd benchmark (analog of ``benchmarks/benchmark_zstd_chunked.cu``).
+
+``nvcompBatchedZstdOpts_t`` is empty (benchmark_zstd_chunked.cu:31,54-56) — no per-format
+flags; rejects any unknown arguments like the reference parser does.
+"""
 import sys
+
 from tpucomp.bench import main_template
 
+
+def parse_opts(extra):
+    assert not extra, f"unknown arguments: {extra}"
+    return None
+
+
 if __name__ == "__main__":
-    main_template("zstd", sys.argv[1:])
+    main_template("zstd", sys.argv[1:], parse_opts)

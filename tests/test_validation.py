@@ -46,8 +46,15 @@ def test_deflate_get_decompress_size_zlib_streams():
     cb = ChunkBatch.from_chunks(comp)
     sizes = np.asarray(batched.get_decompress_size("deflate", cb))
     assert list(sizes) == [len(c) for c in chunks]
-    # gdeflate currently shares the deflate core's size query
-    sizes_g = np.asarray(batched.get_decompress_size("gdeflate", cb))
+    # gdeflate reads raw_size from its tile header (bytes 6-9)
+    from tpucomp.formats import gdeflate as gd
+    gout, gsz, _ = gd.compress_batch(
+        ChunkBatch.from_chunks(chunks).data,
+        ChunkBatch.from_chunks(chunks).sizes, gd.DEFAULT_OPTS,
+        gd.max_compressed_chunk_size(ChunkBatch.from_chunks(chunks).max_chunk_bytes))
+    from tpucomp.chunk import ChunkBatch as CB
+    sizes_g = np.asarray(batched.get_decompress_size(
+        "gdeflate", CB(data=gout, sizes=gsz)))
     assert list(sizes_g) == [len(c) for c in chunks]
 
 

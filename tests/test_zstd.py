@@ -127,6 +127,35 @@ class TestEncode:
                                 for i in range(len(data))])
         assert got == list(data.values())
 
+    def test_multiblock_encode_1mib(self):
+        # > 128 KiB chunks must emit real multi-block compressed frames
+        # (VERDICT r1 item 3: no more store fallback above one block)
+        data = synth.mixed_corpus(1 << 20, seed=21).tobytes()
+        cb = ChunkBatch.from_chunks([data])
+        cap = tz.max_compressed_chunk_size(1 << 20)
+        out, osz, ost = tz.compress_batch(cb.data, cb.sizes, tz.DEFAULT_OPTS, cap)
+        assert int(ost[0]) == Status.SUCCESS
+        ratio = len(data) / int(osz[0])
+        assert ratio > 1.5, ratio
+        frame = bytes(np.asarray(out[0, : osz[0]]))
+        got = zstandard.ZstdDecompressor().decompress(
+            frame, max_output_size=(1 << 20) + 16)
+        assert got == data
+
+    def test_multiblock_encode_16mb_reference_max(self):
+        # the reference's max chunk (CHANGELOG.md:55) with compressible data
+        data = (synth.text_like(1 << 20, seed=9).tobytes() * 16)[: 16 << 20]
+        cb = ChunkBatch.from_chunks([data])
+        cap = tz.max_compressed_chunk_size(16 << 20)
+        out, osz, ost = tz.compress_batch(cb.data, cb.sizes, tz.DEFAULT_OPTS, cap)
+        assert int(ost[0]) == Status.SUCCESS
+        ratio = len(data) / int(osz[0])
+        assert ratio > 1.5, ratio
+        frame = bytes(np.asarray(out[0, : osz[0]]))
+        got = zstandard.ZstdDecompressor().decompress(
+            frame, max_output_size=(16 << 20) + 16)
+        assert got == data
+
     def test_get_decompress_size(self):
         import jax
         data = synth.text_like(5000).tobytes()

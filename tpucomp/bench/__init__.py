@@ -69,8 +69,12 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
                   opts: Any = None, chunk_size: int = 65536,
                   warmup: int = 1, iterations: int = 3,
                   duplicate_count: int = 0, num_files: int = 1,
-                  verify: bool = True) -> BenchResult:
-    """Chunked round-trip benchmark of one format over pre-split chunks."""
+                  verify: bool = True, backend: str = "auto") -> BenchResult:
+    """Chunked round-trip benchmark of one format over pre-split chunks.
+
+    ``backend`` selects the decode path (auto = Pallas kernel on TPU when the
+    format has one; see :func:`tpucomp.batched.decompress`).
+    """
     import jax
     from tpucomp.utils import honor_jax_platforms_env
     honor_jax_platforms_env()
@@ -79,6 +83,7 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
     if duplicate_count:
         data_chunks = list(data_chunks) * (1 + duplicate_count)
     spec = batched._get(fmt)
+    decode = batched._decode_fn(fmt, spec, backend)
     opts = opts if opts is not None else spec.default_opts
     max_chunk = max((len(c) for c in data_chunks), default=1)
     max_chunk = max(max_chunk, 1)
@@ -88,15 +93,26 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
 
     data, sizes = jax.device_put(cb.data), jax.device_put(cb.sizes)
 
-    t0 = time.time()
-    comp, csz, cst = spec.compress_batch(data, sizes, opts, cap)
-    jax.block_until_ready(comp)
-    t_cc = time.time() - t0
+    if spec.decompression_only:
+        # gzip (README.md:16): stage compressed inputs with host zlib, like
+        # the reference's gzip benchmark feeds zlib-produced streams
+        import gzip as _gz
+        comp_chunks = [_gz.compress(c, 6) for c in data_chunks]
+        ccb = ChunkBatch.from_chunks(comp_chunks,
+                                     max_chunk_bytes=max(cap, 8))
+        comp, csz = jax.device_put(ccb.data), jax.device_put(ccb.sizes)
+        cst = np.zeros((cb.num_chunks,), np.int32)
+        t_cc = 0.0
+    else:
+        t0 = time.time()
+        comp, csz, cst = spec.compress_batch(data, sizes, opts, cap)
+        jax.block_until_ready(comp)
+        t_cc = time.time() - t0
     assert int(np.asarray(cst).max()) == Status.SUCCESS, \
         f"compress statuses: {np.asarray(cst)}"
 
     t0 = time.time()
-    dec, dsz, dst = spec.decompress_batch(comp, csz, max_chunk)
+    dec, dsz, dst = decode(comp, csz, max_chunk)
     jax.block_until_ready(dec)
     t_dc = time.time() - t0
     assert int(np.asarray(dst).max()) == Status.SUCCESS, \
@@ -108,19 +124,42 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
         assert np.array_equal(np.asarray(dec), np.asarray(data)), \
             "round trip not bit-exact"
 
-    for _ in range(max(warmup - 1, 0)):
-        jax.block_until_ready(spec.compress_batch(data, sizes, opts, cap))
+    # readback-terminated timing (the hardened protocol from bench.py /
+    # BENCH_NOTES.md): K chained, data-dependent iterations inside ONE
+    # compiled program, terminated by a host readback of a checksum derived
+    # from every produced byte — `block_until_ready` alone returns early on
+    # runtimes with untrustworthy completion acks (the 2.8 TB/s artifact).
+    import jax.numpy as jnp
 
-    def timed(fn, n):
-        best = float("inf")
-        for _ in range(n):
-            t0 = time.time()
-            jax.block_until_ready(fn())
-            best = min(best, time.time() - t0)
-        return best
+    def chained(fn3):
+        @jax.jit
+        def loop(a, b, k):
+            def body(i, carry):
+                b2, acc = carry
+                o1, o2, o3 = fn3(a, b2)
+                sm = (jnp.sum(o1.astype(jnp.int32)) + jnp.sum(o2)
+                      + jnp.sum(o3)).astype(jnp.int32)
+                return ((b2 + sm * 0).astype(b2.dtype), (acc + sm).astype(jnp.int32))
+            _, acc = jax.lax.fori_loop(0, k, body, (b, jnp.int32(0)))
+            return acc
+        return loop
 
-    ct = timed(lambda: spec.compress_batch(data, sizes, opts, cap), iterations)
-    dt = timed(lambda: spec.decompress_batch(comp, csz, max_chunk), iterations)
+    def timed(loop, a, b, k):
+        int(loop(a, b, jnp.int32(1)))         # sync: drain queued work
+        t0 = time.time()
+        int(loop(a, b, jnp.int32(k)))         # readback terminates the timer
+        return (time.time() - t0) / k
+
+    K = max(iterations, 3)
+    dec_loop = chained(lambda c, z: decode(c, z, max_chunk))
+    if spec.decompression_only:
+        ct = float("inf")
+    else:
+        comp_loop = chained(lambda d, s: spec.compress_batch(d, s, opts, cap))
+        for _ in range(max(warmup - 1, 0)):
+            jax.block_until_ready(spec.compress_batch(data, sizes, opts, cap))
+        ct = timed(comp_loop, data, sizes, K)
+    dt = timed(dec_loop, comp, csz, K)
 
     compressed_bytes = int(np.asarray(csz).sum())
     return BenchResult(
@@ -159,10 +198,15 @@ def main_template(fmt: str, argv: Sequence[str] | None = None,
     ap.add_argument("-i", "--iteration-count", type=int, default=3)
     ap.add_argument("-x", "--duplicate-data", type=int, default=0)
     ap.add_argument("-c", "--csv-output", action="store_true")
-    ap.add_argument("-t", "--tab-separator", action="store_true")
+    # -T, not -t: the reference reserves -t for per-format data types
+    # (benchmark_lz4_chunked.cu:38-43, benchmark_cascaded_chunked.cu:49-81)
+    ap.add_argument("-T", "--tab-separator", action="store_true")
     ap.add_argument("-p", "--page-size", type=int, default=65536)
     ap.add_argument("-s", "--file-with-page-sizes", action="store_true")
     ap.add_argument("--device", type=int, default=0, help="-g analog")
+    ap.add_argument("--backend", default="auto",
+                    choices=["auto", "xla", "pallas"],
+                    help="decode path (auto = Pallas kernel on TPU)")
     ap.add_argument("--synthetic-mb", type=int, default=0,
                     help="use the mixed synthetic corpus instead of files")
     args, extra = ap.parse_known_args(argv)
@@ -188,7 +232,7 @@ def main_template(fmt: str, argv: Sequence[str] | None = None,
                         warmup=args.warmup_count,
                         iterations=args.iteration_count,
                         duplicate_count=args.duplicate_data,
-                        num_files=num_files)
+                        num_files=num_files, backend=args.backend)
     if args.csv_output:
         sep = "\t" if args.tab_separator else ","
         print(BenchResult.CSV_HEADER.replace(",", sep))

@@ -1179,23 +1179,20 @@ def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
     return sec, sec_len, ok
 
 
-def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
-                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Compress one chunk as a zstd frame.
+def _encode_block_body(data: jax.Array, size: jax.Array):
+    """Build one compressed-block BODY (literal section + sequence section).
 
-    Chunks <= 128 KiB emit a single compressed block — raw literals plus
-    predefined-FSE-coded sequences from the shared LZ match finder (real LZ
-    compression in a fully standard container; Huffman literals and custom FSE
-    tables are the next ratio step).  Falls back to the store-mode frame
-    whenever that would be smaller.  Larger chunks use store-mode frames.
+    ``data`` is one block's bytes (cap <= 128 KiB, the zstd block limit);
+    returns ``(body uint8[cap+64], body_len, ok)`` — no frame or block
+    headers.  ``ok`` False means the caller must emit a raw block instead
+    (degenerate alphabets, caps exceeded, or no size win possible).
+
+    Literals are Huffman-coded (4-stream) when that wins, else raw; sequences
+    use the RFC 8878 predefined FSE tables over the shared LZ match finder.
     """
     cap = data.shape[0]
-    if cap > (1 << 17):
-        return _encode_store(data, size, opts, out_cap)
-
     from tpucomp.formats import lz4 as _lz4
     size = size.astype(jnp.int32)
-    store_out, store_size, store_status = _encode_store(data, size, opts, out_cap)
 
     # ---- matches + greedy parse (shared machinery) --------------------------------
     mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8),
@@ -1315,49 +1312,30 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
     wshift = jnp.arange(4, dtype=jnp.uint32) * 8
     stream_u8 = ((words[:, None] >> wshift[None, :]) & 0xFF).astype(jnp.uint8).reshape(-1)
 
-    # ---- assemble the frame ---------------------------------------------------------
-    wl = jnp.int32(10)
-    for k in range(11, 25):
-        wl = jnp.where(size > (1 << (k - 1)), k, wl)
-    hdr = jnp.zeros((13,), jnp.uint8)
-    for b, v in enumerate([MAGIC & 0xFF, (MAGIC >> 8) & 0xFF,
-                           (MAGIC >> 16) & 0xFF, (MAGIC >> 24) & 0xFF]):
-        hdr = hdr.at[b].set(v)
-    hdr = hdr.at[4].set(0x80)                       # fcs_flag=2 (4-byte FCS)
-    hdr = hdr.at[5].set(((wl - 10) << 3).astype(jnp.uint8))
-    for b in range(4):
-        hdr = hdr.at[6 + b].set(((size >> (8 * b)) & 0xFF).astype(jnp.uint8))
-
+    # ---- assemble the block body ------------------------------------------------------
     nseq_hdr = jnp.where(nseq == 0, 1, 2)
     seq_sec = nseq_hdr + jnp.where(nseq > 0, 1 + stream_bytes, 0)
     lit_sec_len = jnp.where(huf_ok, huf_sec_len, 3 + n_lit)
-    block_size = lit_sec_len + seq_sec
-    bh = jnp.int32(1) | (2 << 1) | (block_size << 3)
-    hdr = hdr.at[10].set((bh & 0xFF).astype(jnp.uint8))
-    hdr = hdr.at[11].set(((bh >> 8) & 0xFF).astype(jnp.uint8))
-    hdr = hdr.at[12].set(((bh >> 16) & 0xFF).astype(jnp.uint8))
+    body_len = lit_sec_len + seq_sec
 
     lit_hdr = jnp.stack([
         (jnp.int32(0) | (3 << 2) | ((n_lit & 0xF) << 4)) & 0xFF,
         (n_lit >> 4) & 0xFF, (n_lit >> 12) & 0xFF]).astype(jnp.uint8)
 
-    total = 13 + lit_sec_len + seq_sec
-    pos_o = jnp.arange(out_cap, dtype=jnp.int32)
-    out = jnp.where(pos_o < 13, hdr[jnp.clip(pos_o, 0, 12)], 0).astype(jnp.uint8)
-    # literal section at 13: Huffman-compressed when it wins, else raw
-    raw_sel = jnp.logical_and(jnp.logical_not(huf_ok),
-                              jnp.logical_and(pos_o >= 13, pos_o < 16))
-    out = jnp.where(raw_sel, lit_hdr[jnp.clip(pos_o - 13, 0, 2)], out)
-    raw_sel = jnp.logical_and(jnp.logical_not(huf_ok),
-                              jnp.logical_and(pos_o >= 16, pos_o < 16 + n_lit))
-    out = jnp.where(raw_sel, lit_bytes[jnp.clip(pos_o - 16, 0, cap - 1)], out)
-    huf_sel = jnp.logical_and(huf_ok,
-                              jnp.logical_and(pos_o >= 13,
-                                              pos_o < 13 + huf_sec_len))
+    body_cap = cap + 64
+    pos_o = jnp.arange(body_cap, dtype=jnp.int32)
+    # literal section at 0: Huffman-compressed when it wins, else raw
+    raw_lit = jnp.logical_not(huf_ok)
+    out = jnp.where(jnp.logical_and(raw_lit, pos_o < 3),
+                    lit_hdr[jnp.clip(pos_o, 0, 2)], 0).astype(jnp.uint8)
+    raw_sel = jnp.logical_and(raw_lit,
+                              jnp.logical_and(pos_o >= 3, pos_o < 3 + n_lit))
+    out = jnp.where(raw_sel, lit_bytes[jnp.clip(pos_o - 3, 0, cap - 1)], out)
+    huf_sel = jnp.logical_and(huf_ok, pos_o < huf_sec_len)
     out = jnp.where(huf_sel,
-                    huf_sec[jnp.clip(pos_o - 13, 0, huf_sec.shape[0] - 1)], out)
+                    huf_sec[jnp.clip(pos_o, 0, huf_sec.shape[0] - 1)], out)
     # nseq header
-    o1 = 13 + lit_sec_len
+    o1 = lit_sec_len
     nseq_b0 = jnp.where(nseq == 0, 0, 128 + (nseq >> 8))
     out = jnp.where(pos_o == o1, nseq_b0.astype(jnp.uint8), out)
     out = jnp.where(jnp.logical_and(pos_o == o1 + 1, nseq > 0),
@@ -1366,17 +1344,114 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
     o2 = o1 + nseq_hdr
     out = jnp.where(jnp.logical_and(pos_o == o2, nseq > 0), jnp.uint8(0), out)
     sel = jnp.logical_and(nseq > 0,
-                          jnp.logical_and(pos_o >= o2 + 1, pos_o < total))
+                          jnp.logical_and(pos_o >= o2 + 1, pos_o < body_len))
     out = jnp.where(sel, stream_u8[jnp.clip(pos_o - (o2 + 1), 0,
                                             stream_u8.shape[0] - 1)], out)
 
-    # ---- choose the smaller frame ---------------------------------------------------
-    comp_ok = jnp.logical_and(total <= out_cap, nseq <= 32511)
-    comp_ok = jnp.logical_and(comp_ok, n_lit < (1 << 20))
-    use_comp = jnp.logical_and(comp_ok, total < store_size)
-    out = jnp.where(use_comp, out, store_out)
-    out_size = jnp.where(use_comp, total, store_size).astype(jnp.int32)
-    status = jnp.where(use_comp, Status.SUCCESS, store_status)
+    ok = jnp.logical_and(nseq <= 32511, n_lit < (1 << 20))
+    ok = jnp.logical_and(ok, body_len <= body_cap)
+    return out, body_len.astype(jnp.int32), ok
+
+
+def _frame_header(size: jax.Array) -> jax.Array:
+    """10-byte frame header: magic, FHD (4-byte FCS), window descriptor."""
+    wl = jnp.int32(10)
+    for k in range(11, 25):
+        wl = jnp.where(size > (1 << (k - 1)), k, wl)
+    hdr = jnp.zeros((10,), jnp.uint8)
+    for b, v in enumerate([MAGIC & 0xFF, (MAGIC >> 8) & 0xFF,
+                           (MAGIC >> 16) & 0xFF, (MAGIC >> 24) & 0xFF]):
+        hdr = hdr.at[b].set(v)
+    hdr = hdr.at[4].set(0x80)                       # fcs_flag=2 (4-byte FCS)
+    hdr = hdr.at[5].set(((wl - 10) << 3).astype(jnp.uint8))
+    for b in range(4):
+        hdr = hdr.at[6 + b].set(((size >> (8 * b)) & 0xFF).astype(jnp.uint8))
+    return hdr
+
+
+ZSTD_BLOCK = 1 << 17  # 128 KiB zstd block limit (RFC 8878 3.1.1.2.3)
+
+
+def encode_chunk(data: jax.Array, size: jax.Array, opts: ZstdOpts,
+                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Compress one chunk as a zstd frame.
+
+    Chunks split into 128 KiB blocks (the RFC 8878 block limit), each encoded
+    as a compressed block — Huffman/raw literals plus predefined-FSE-coded
+    sequences from the shared LZ match finder — or a raw block when that is
+    smaller.  Supports the reference's full 16 MB max chunk
+    (``nvcompZstdCompressionMaxAllowedChunkSize``, ``CHANGELOG.md:55``);
+    matches are found within each block (offsets stay inside the window).
+    Falls back to the store-mode frame when nothing wins.
+    """
+    cap = data.shape[0]
+    size = size.astype(jnp.int32)
+    store_out, store_size, store_status = _encode_store(data, size, opts, out_cap)
+
+    if cap <= ZSTD_BLOCK:
+        body, body_len, ok = _encode_block_body(data, size)
+        total = 13 + body_len
+        bh = jnp.int32(1) | (2 << 1) | (body_len << 3)
+        hdr = jnp.concatenate([
+            _frame_header(size),
+            jnp.stack([bh & 0xFF, (bh >> 8) & 0xFF,
+                       (bh >> 16) & 0xFF]).astype(jnp.uint8)])
+        pos_o = jnp.arange(out_cap, dtype=jnp.int32)
+        out = jnp.where(pos_o < 13, hdr[jnp.clip(pos_o, 0, 12)], 0).astype(jnp.uint8)
+        sel = jnp.logical_and(pos_o >= 13, pos_o < total)
+        out = jnp.where(sel, body[jnp.clip(pos_o - 13, 0, body.shape[0] - 1)], out)
+        use_comp = jnp.logical_and(jnp.logical_and(ok, total <= out_cap),
+                                   total < store_size)
+        out = jnp.where(use_comp, out, store_out)
+        out_size = jnp.where(use_comp, total, store_size).astype(jnp.int32)
+        status = jnp.where(use_comp, Status.SUCCESS, store_status)
+        return out, out_size, status.astype(jnp.int32)
+
+    # ---- multi-block frame (chunks up to the 16 MB reference max) -------------------
+    nb = -(-cap // ZSTD_BLOCK)
+    dpad = jnp.pad(data, (0, nb * ZSTD_BLOCK - cap))
+    blocks = dpad.reshape(nb, ZSTD_BLOCK)
+    bi = jnp.arange(nb, dtype=jnp.int32)
+    blk_start = bi * ZSTD_BLOCK
+    bsize = jnp.clip(size - blk_start, 0, ZSTD_BLOCK)
+    bodies, body_lens, oks = jax.lax.map(
+        lambda t: _encode_block_body(t[0], t[1]), (blocks, bsize))
+
+    blk_active = jnp.logical_or(bsize > 0, bi == 0)
+    n_blocks = jnp.maximum(jnp.sum((bsize > 0).astype(jnp.int32)), 1)
+    is_last = bi == n_blocks - 1
+    use_comp = jnp.logical_and(oks, body_lens < bsize)
+    csize = jnp.where(use_comp, body_lens, bsize)
+    out_sizes = jnp.where(blk_active, 3 + csize, 0)
+    HDR = 10
+    out_off = HDR + jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                     jnp.cumsum(out_sizes)[:-1].astype(jnp.int32)])
+    total = HDR + jnp.sum(out_sizes)
+
+    hdr = _frame_header(size)
+    pos = jnp.arange(out_cap, dtype=jnp.int32)
+    out = jnp.where(pos < HDR, hdr[jnp.clip(pos, 0, HDR - 1)], 0).astype(jnp.uint8)
+    # each output byte classifies itself against the block layout
+    key = jnp.where(blk_active, out_off, jnp.int32(2**30))
+    kblk = jnp.clip(jnp.searchsorted(key, pos, side="right").astype(jnp.int32) - 1,
+                    0, nb - 1)
+    r = pos - out_off[kblk]
+    btype = jnp.where(use_comp, 2, 0)
+    bh = (jnp.where(is_last[kblk], 1, 0)
+          | (btype[kblk] << 1) | (csize[kblk] << 3))
+    bh_byte = jnp.where(r == 0, bh & 0xFF,
+              jnp.where(r == 1, (bh >> 8) & 0xFF, (bh >> 16) & 0xFF))
+    raw_byte = data[jnp.clip(blk_start[kblk] + (r - 3), 0, cap - 1)].astype(jnp.int32)
+    comp_byte = bodies[kblk, jnp.clip(r - 3, 0, bodies.shape[1] - 1)].astype(jnp.int32)
+    body_byte = jnp.where(use_comp[kblk], comp_byte, raw_byte)
+    out = jnp.where(jnp.logical_and(pos >= HDR, pos < total),
+                    jnp.where(r < 3, bh_byte, body_byte).astype(jnp.uint8), out)
+
+    fits = total <= out_cap
+    use_frame = jnp.logical_and(fits, total < store_size)
+    out = jnp.where(use_frame, out, store_out)
+    out_size = jnp.where(use_frame, total, store_size).astype(jnp.int32)
+    status = jnp.where(use_frame, Status.SUCCESS, store_status)
     return out, out_size, status.astype(jnp.int32)
 
 
