@@ -237,6 +237,129 @@ def _fse_unpack(packed_entry):
 
 
 # =====================================================================================
+# custom FSE tables for sequence codes (encode side)
+# =====================================================================================
+
+def _normalize_counts(freq: jax.Array, size: int):
+    """Normalize symbol counts to an FSE table of ``size`` slots.
+
+    Returns ``(norm int32[max_sym], nsym, ok)``: present symbols get
+    ``norm >= 1``; absent symbols below ``nsym`` get ``-1`` ("less than 1",
+    one slot each) — never 0, so the serialized description needs no
+    zero-repeat flags.  Largest-remainder distribution with an exact-sum
+    correction, like the rANS quantizer.
+    """
+    max_sym = freq.shape[0]
+    sym_ids = jnp.arange(max_sym, dtype=jnp.int32)
+    present = freq > 0
+    nsym = jnp.max(jnp.where(present, sym_ids, -1)) + 1
+    below = sym_ids < nsym
+    absent = jnp.logical_and(below, jnp.logical_not(present))
+    n_absent = jnp.sum(absent.astype(jnp.int32))
+    target = jnp.maximum(size - n_absent, 0)
+    total = jnp.maximum(jnp.sum(freq), 1)
+
+    scaled = freq.astype(jnp.int64) * target.astype(jnp.int64)
+    base = (scaled // total).astype(jnp.int32)
+    rem = (scaled - base.astype(jnp.int64) * total).astype(jnp.int32)
+    base = jnp.where(jnp.logical_and(present, base == 0), 1, base)
+    budget = target - jnp.sum(jnp.where(present, base, 0))
+    order = jnp.argsort(jnp.where(present, -rem.astype(jnp.int64), 1 << 40))
+    bonus_sorted = (jnp.arange(max_sym) < budget).astype(jnp.int32)
+    bonus = jnp.zeros((max_sym,), jnp.int32).at[order].set(bonus_sorted)
+    norm = base + jnp.where(present, bonus, 0)
+    # exact-sum correction on the largest entries
+    for _ in range(4):
+        resid = target - jnp.sum(jnp.where(present, norm, 0))
+        top = jnp.argmax(jnp.where(present, norm, 0))
+        delta = jnp.clip(resid, 1 - norm[top], None)
+        norm = norm.at[top].add(jnp.where(present, delta, 0)[top] * 0 + delta)
+        norm = jnp.where(present, norm, 0)
+    norm = jnp.where(absent, -1, jnp.where(present, norm, 0))
+    ok = jnp.sum(jnp.where(below, jnp.abs(norm), 0)) == size
+    ok = jnp.logical_and(ok, nsym >= 2)   # degenerate alphabets use RLE/predef
+    ok = jnp.logical_and(ok, jnp.all(jnp.where(present, norm, 1) >= 1))
+    return norm, nsym, ok
+
+
+def _fse_enc_traced(norm: jax.Array, nsym: jax.Array, acc_log: int):
+    """Traced encode tables from normalized counts (closed form, no loops).
+
+    Returns ``(st, nb, bs, first, ok)`` with ``st/nb/bs`` shaped
+    ``[max_sym, size]`` indexed by (symbol, next decode-slot state) — the same
+    convention as :func:`_fse_enc_np` — plus per-symbol initial slots.
+    """
+    max_sym = norm.shape[0]
+    size = 1 << acc_log
+    packed, ok = _fse_build_traced(jnp.pad(norm, (0, 64 - max_sym)),
+                                   nsym, jnp.int32(acc_log))
+    sym_slot = packed[:size] & 0xFF
+
+    # slot_of[s, r]: index of the rank-r slot of symbol s (ascending slot order)
+    ks = jnp.arange(size, dtype=jnp.int32)
+    key = sym_slot.astype(jnp.int64) * size + ks
+    order = jnp.argsort(key).astype(jnp.int32)
+    sym_sorted = sym_slot[order]
+    same = jnp.concatenate([jnp.zeros((1,), jnp.bool_),
+                            sym_sorted[1:] == sym_sorted[:-1]])
+    rank_sorted = plz.prefix_run_length(same)
+    slot_of = jnp.zeros((max_sym * size,), jnp.int32).at[
+        jnp.clip(sym_sorted * size + rank_sorted, 0, max_sym * size - 1)].set(order)
+
+    counts = jnp.where(norm == -1, 1, jnp.maximum(norm, 0))
+    c = jnp.maximum(counts, 1)[:, None]            # [max_sym, 1]
+    xp = jnp.arange(size, dtype=jnp.int32)[None, :]
+    bl = jnp.zeros_like(c)
+    for k in range(acc_log + 1):
+        bl = bl + ((c >> k) > 0).astype(jnp.int32)
+    nbA = jnp.clip(acc_log - (bl - 1), 0, 31)
+    xA = (xp + size) >> nbA
+    okA = jnp.logical_and(xA >= c, xA < 2 * c)
+    nb = jnp.clip(jnp.where(okA, nbA, nbA - 1), 0, 31)
+    xv = (xp + size) >> nb
+    r = jnp.clip(xv - c, 0, size - 1)
+    srow = jnp.arange(max_sym, dtype=jnp.int32)[:, None]
+    st = slot_of[jnp.clip(srow * size + r, 0, max_sym * size - 1)]
+    bs = (xv << nb) - size
+    first = slot_of[jnp.clip(srow[:, 0] * size, 0, max_sym * size - 1)]
+    return st, nb, bs, first, ok
+
+
+def _serialize_ncount(norm: jax.Array, nsym: jax.Array, acc_log: int):
+    """Serialize an FSE table description (RFC 8878 4.1.1), the exact inverse
+    of the decoder's ``read_ncount``.
+
+    ``norm`` never contains 0 below ``nsym`` (see :func:`_normalize_counts`),
+    so no zero-repeat flags are emitted.  Returns
+    ``(field_vals int32[1+max_sym], field_bits int32[1+max_sym], total_bits)``
+    — pack with the shared scatter-OR serializer and byte-align after.
+    """
+    max_sym = norm.shape[0]
+    size = 1 << acc_log
+    vals = [jnp.int32(acc_log - 5)]
+    bits = [jnp.int32(4)]
+    rem = jnp.int32(size + 1)
+    for s in range(max_sym):
+        active = s < nsym
+        cnt = jnp.where(norm[s] < 0, 0, norm[s] + 1)   # encoded value
+        emit = jnp.logical_and(active, rem > 1)
+        # bitlength(rem)
+        nbb = jnp.int32(0)
+        for k in range(MAX_ACC_LOG + 2):
+            nbb = jnp.where((rem >> k) > 0, k + 1, nbb)
+        thr = jnp.int32(1) << jnp.clip(nbb - 1, 0, 15)
+        mx = (2 * thr - 1) - rem
+        small = cnt < mx
+        v = jnp.where(small, cnt, jnp.where(cnt < thr, cnt, cnt + mx))
+        w = jnp.where(small, nbb - 1, nbb)
+        vals.append(jnp.where(emit, v, 0))
+        bits.append(jnp.where(emit, w, 0))
+        rem = jnp.where(emit, rem - jnp.where(cnt == 0, 1, cnt - 1), rem)
+    total_bits = sum(bits[1:], bits[0])
+    return jnp.stack(vals), jnp.stack(bits), total_bits
+
+
+# =====================================================================================
 # decoder
 # =====================================================================================
 
@@ -1240,10 +1363,66 @@ def _encode_block_body(data: jax.Array, size: jax.Array):
         of_code = jnp.where((ofv >> k) > 0, k, of_code)
     of_x = ofv - (jnp.int32(1) << of_code)
 
+    # ---- custom FSE tables (mode 2) when they beat the predefined ones ---------------
+    def hist(codes, max_sym):
+        h = jnp.zeros((max_sym + 1,), jnp.int32).at[
+            jnp.where(t_valid, jnp.clip(codes, 0, max_sym - 1), max_sym)].add(1)
+        return h[:max_sym]
+
+    def flog2(n):
+        l = jnp.zeros_like(n)
+        for k in range(MAX_ACC_LOG + 1):
+            l = jnp.where((n >> k) > 0, k, l)
+        return l
+
+    def custom_stream(codes, max_sym, acc, default_norm_np, default_acc):
+        """Build the mode-2 alternative for one stream type.
+
+        Returns (use, st, nb, bs, first, desc_vals, desc_bits, desc_len_bits)
+        with the table arrays where-selected against the predefined ones by
+        an entropy-cost estimate including the description overhead.
+        """
+        freq = hist(codes, max_sym)
+        norm, nsym, nok = _normalize_counts(freq, 1 << acc)
+        stc, nbc, bsc, firstc, tok = _fse_enc_traced(norm, nsym, acc)
+        dvals, dbits, dlen = _serialize_ncount(norm, nsym, acc)
+        cost_c = jnp.sum(freq * (acc - flog2(jnp.maximum(norm, 1)))) \
+            + dlen + 7 + acc
+        dn = jnp.asarray(np.abs(default_norm_np).astype(np.int32))[:max_sym]
+        cost_p = jnp.sum(freq * (default_acc - flog2(jnp.maximum(dn, 1)))) \
+            + default_acc
+        use = jnp.logical_and(jnp.logical_and(nok, tok), cost_c < cost_p)
+        use = jnp.logical_and(use, nseq >= 16)
+        return use, stc, nbc, bsc, firstc, dvals, \
+            jnp.where(use, dbits, 0), jnp.where(use, dlen, 0)
+
+    use_ll, ll_stc, ll_nbc, ll_bsc, ll_firstc, ll_dv, ll_db, ll_dl = \
+        custom_stream(ll_code, 36, MAX_ACC_LOG, LL_DEFAULT, LL_DEFAULT_ACC)
+    use_ml, ml_stc, ml_nbc, ml_bsc, ml_firstc, ml_dv, ml_db, ml_dl = \
+        custom_stream(ml_code, 53, MAX_ACC_LOG, ML_DEFAULT, ML_DEFAULT_ACC)
+    use_of, of_stc, of_nbc, of_bsc, of_firstc, of_dv, of_db, of_dl = \
+        custom_stream(of_code, 29, 8, OF_DEFAULT, OF_DEFAULT_ACC)
+
     # ---- FSE state chains (reverse scan; see _fse_enc_np) ---------------------------
-    ll_st_t, ll_nb_t, ll_bs_t, ll_first = (jnp.asarray(a) for a in LL_ENC)
-    ml_st_t, ml_nb_t, ml_bs_t, ml_first = (jnp.asarray(a) for a in ML_ENC)
-    of_st_t, of_nb_t, of_bs_t, of_first = (jnp.asarray(a) for a in OF_ENC)
+    def pick(use, custom3, default3, size_custom):
+        """where-select (st, nb, bs, first) between custom and zero-padded
+        predefined tables (chain states index only the live prefix)."""
+        stc, nbc, bsc, firstc = custom3
+        std, nbd, bsd, firstd = (np.asarray(a) for a in default3)
+        padc = size_custom - std.shape[1]
+        std = jnp.asarray(np.pad(std, ((0, 0), (0, padc))))
+        nbd = jnp.asarray(np.pad(nbd, ((0, 0), (0, padc))))
+        bsd = jnp.asarray(np.pad(bsd, ((0, 0), (0, padc))))
+        return (jnp.where(use, stc, std), jnp.where(use, nbc, nbd),
+                jnp.where(use, bsc, bsd),
+                jnp.where(use, firstc, jnp.asarray(firstd)))
+
+    ll_st_t, ll_nb_t, ll_bs_t, ll_first = pick(
+        use_ll, (ll_stc, ll_nbc, ll_bsc, ll_firstc), LL_ENC, FSE_CAP)
+    ml_st_t, ml_nb_t, ml_bs_t, ml_first = pick(
+        use_ml, (ml_stc, ml_nbc, ml_bsc, ml_firstc), ML_ENC, FSE_CAP)
+    of_st_t, of_nb_t, of_bs_t, of_first = pick(
+        use_of, (of_stc, of_nbc, of_bsc, of_firstc), OF_ENC, 256)
 
     def chain(sym_arr, st_t, nb_t, bs_t, first_t):
         def step(carry, x):
@@ -1279,9 +1458,10 @@ def _encode_block_body(data: jax.Array, size: jax.Array):
                       jnp.where(t_valid, ll_bits_t[ll_code], 0),
                       ll_un, ml_un, of_un], axis=1).reshape(-1)
     head_val = jnp.stack([ll_s0, of_s0, ml_s0])
-    head_nb = jnp.where(nseq > 0,
-                        jnp.array([LL_DEFAULT_ACC, OF_DEFAULT_ACC,
-                                   ML_DEFAULT_ACC], jnp.int32), 0)
+    head_nb = jnp.stack([jnp.where(use_ll, MAX_ACC_LOG, LL_DEFAULT_ACC),
+                         jnp.where(use_of, 8, OF_DEFAULT_ACC),
+                         jnp.where(use_ml, MAX_ACC_LOG, ML_DEFAULT_ACC)])
+    head_nb = jnp.where(nseq > 0, head_nb, 0)
     vals = jnp.concatenate([head_val, f_val]).astype(jnp.int64)
     nbs = jnp.concatenate([head_nb, f_nb])
 
@@ -1312,9 +1492,46 @@ def _encode_block_body(data: jax.Array, size: jax.Array):
     wshift = jnp.arange(4, dtype=jnp.uint32) * 8
     stream_u8 = ((words[:, None] >> wshift[None, :]) & 0xFF).astype(jnp.uint8).reshape(-1)
 
+    # ---- FSE table descriptions (LL, OF, ML order per RFC 8878) ----------------------
+    DESC_CAP_B = 96  # ML: 1+53 fields x <=11 bits = 74 B worst case
+    desc_fields_v = jnp.concatenate([ll_dv, of_dv, ml_dv]).astype(jnp.int64)
+    ll_len_b = (ll_dl + 7) >> 3
+    of_len_b = (of_dl + 7) >> 3
+    ml_len_b = (ml_dl + 7) >> 3
+    # bit offsets: each description starts byte-aligned at its own region
+    region_start = jnp.stack([jnp.int32(0), ll_len_b * 8,
+                              (ll_len_b + of_len_b) * 8])
+    desc_bits_all = jnp.concatenate([ll_db, of_db, ml_db])
+    local_off = jnp.cumsum(desc_bits_all) - desc_bits_all
+    # rebase each region's prefix to its own start
+    ll_n = ll_dv.shape[0]
+    of_n = of_dv.shape[0]
+    base_fix = jnp.concatenate([
+        jnp.zeros((ll_n,), jnp.int32),
+        jnp.full((of_n,), 1, jnp.int32),
+        jnp.full((ml_dv.shape[0],), 2, jnp.int32)])
+    seg_first = jnp.stack([jnp.int32(0), local_off[ll_n],
+                           local_off[ll_n + of_n]])
+    desc_off = region_start[base_fix] + local_off - seg_first[base_fix]
+    desc_words = jnp.zeros((3 * DESC_CAP_B // 4 + plz.DUMP_SLOTS,), jnp.uint32)
+    dsh = (desc_off & 31).astype(jnp.uint64)
+    dpos = jnp.arange(desc_fields_v.shape[0], dtype=jnp.int32)
+    demit = desc_bits_all > 0
+    for w in range(2):
+        part = ((desc_fields_v.astype(jnp.uint64) << dsh)
+                >> jnp.uint64(32 * w)) & jnp.uint64(0xFFFFFFFF)
+        t2 = jnp.where(demit,
+                       jnp.clip((desc_off >> 5) + w, 0, 3 * DESC_CAP_B // 4 - 1),
+                       plz.dump_spread(dpos, 3 * DESC_CAP_B // 4))
+        desc_words = desc_words.at[t2].add(part.astype(jnp.uint32))
+    desc_words = desc_words[:3 * DESC_CAP_B // 4]
+    desc_u8 = ((desc_words[:, None] >> (jnp.arange(4, dtype=jnp.uint32) * 8))
+               & 0xFF).astype(jnp.uint8).reshape(-1)
+    desc_total = ll_len_b + of_len_b + ml_len_b
+
     # ---- assemble the block body ------------------------------------------------------
     nseq_hdr = jnp.where(nseq == 0, 1, 2)
-    seq_sec = nseq_hdr + jnp.where(nseq > 0, 1 + stream_bytes, 0)
+    seq_sec = nseq_hdr + jnp.where(nseq > 0, 1 + desc_total + stream_bytes, 0)
     lit_sec_len = jnp.where(huf_ok, huf_sec_len, 3 + n_lit)
     body_len = lit_sec_len + seq_sec
 
@@ -1340,12 +1557,23 @@ def _encode_block_body(data: jax.Array, size: jax.Array):
     out = jnp.where(pos_o == o1, nseq_b0.astype(jnp.uint8), out)
     out = jnp.where(jnp.logical_and(pos_o == o1 + 1, nseq > 0),
                     (nseq & 0xFF).astype(jnp.uint8), out)
-    # SCM byte (predefined everywhere) + stream
+    # SCM byte (mode 2 = FSE_Compressed per stream when the custom table won)
     o2 = o1 + nseq_hdr
-    out = jnp.where(jnp.logical_and(pos_o == o2, nseq > 0), jnp.uint8(0), out)
+    scm = (jnp.where(use_ll, 2, 0) << 6) | (jnp.where(use_of, 2, 0) << 4) \
+        | (jnp.where(use_ml, 2, 0) << 2)
+    out = jnp.where(jnp.logical_and(pos_o == o2, nseq > 0),
+                    scm.astype(jnp.uint8), out)
+    # table descriptions (LL, OF, ML; each byte-aligned), then the bitstream
+    dsel = jnp.logical_and(nseq > 0,
+                           jnp.logical_and(pos_o >= o2 + 1,
+                                           pos_o < o2 + 1 + desc_total))
+    # regions are contiguous and byte-aligned: desc_u8 is the bytes in order
+    dp = jnp.clip(pos_o - (o2 + 1), 0, desc_u8.shape[0] - 1)
+    out = jnp.where(dsel, desc_u8[dp], out)
+    o3 = o2 + 1 + desc_total
     sel = jnp.logical_and(nseq > 0,
-                          jnp.logical_and(pos_o >= o2 + 1, pos_o < body_len))
-    out = jnp.where(sel, stream_u8[jnp.clip(pos_o - (o2 + 1), 0,
+                          jnp.logical_and(pos_o >= o3, pos_o < body_len))
+    out = jnp.where(sel, stream_u8[jnp.clip(pos_o - o3, 0,
                                             stream_u8.shape[0] - 1)], out)
 
     ok = jnp.logical_and(nseq <= 32511, n_lit < (1 << 20))
