@@ -1185,8 +1185,8 @@ def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
     weights = jnp.where(present, max_bits + 1 - lens, 0)
 
     ok = jnp.logical_and(ok, n_present >= 2)
-    ok = jnp.logical_and(ok, max_sym <= 128)      # direct tree: <=128 explicit
     ok = jnp.logical_and(ok, n_lit >= 64)
+    direct_ok = max_sym <= 128                    # direct tree: <=128 explicit
 
     # canonical codes, zstd order: (nbits desc, symbol asc)
     nb = jnp.where(present, lens, 0)
@@ -1209,7 +1209,89 @@ def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
     wlo = jnp.where(2 * wk + 1 < n_explicit, wlo, jnp.where(
         2 * wk < n_explicit, 0, 0))
     tree_nib = ((whi << 4) | wlo).astype(jnp.uint8)
-    tree_bytes = 1 + ((n_explicit + 1) >> 1)
+    direct_tree_bytes = 1 + ((n_explicit + 1) >> 1)
+
+    # ---- FSE-compressed weights (headerByte < 128, RFC 8878 4.2.1.1) -----------------
+    # lifts the 128-explicit-weight limit (Huffman literals for full-byte
+    # alphabets) and halves the tree description on text
+    wN = n_explicit
+    wk256 = jnp.arange(256, dtype=jnp.int32)
+    wvalid = wk256 < wN
+    wseq = jnp.where(wvalid, jnp.clip(weights[wk256], 0, 12), 0)
+    whist = jnp.zeros((14,), jnp.int32).at[
+        jnp.where(wvalid, wseq, 13)].add(1)[:13]
+    wnorm, wnsym, wnok = _normalize_counts(whist, 64)
+    # cap the largest probability so every transition reads >= 1 bit — the
+    # decoder detects stream end by bit exhaustion (over-read), which a 0-bit
+    # transition would never trigger
+    wnok = jnp.logical_and(wnok, jnp.max(wnorm) <= 32)
+    wst_t, wnb_t, wbs_t, wfirst_t, wtok = _fse_enc_traced(wnorm, wnsym, 6)
+    wdv, wdb, wdl = _serialize_ncount(wnorm, wnsym, 6)
+    wd_bytes = (wdl + 7) >> 3
+
+    def wchain(sym_arr, valid_arr):
+        def step(carry, x):
+            s_next, started = carry
+            sym, active = x
+            is_last = jnp.logical_and(active, jnp.logical_not(started))
+            sc = jnp.clip(s_next, 0, 63)
+            y = wst_t[sym, sc]
+            nbv = wnb_t[sym, sc]
+            b = s_next - wbs_t[sym, sc]
+            new_s = jnp.where(is_last, wfirst_t[sym],
+                              jnp.where(active, y, s_next))
+            out_b = jnp.where(jnp.logical_and(active, started), b, 0)
+            out_nb = jnp.where(jnp.logical_and(active, started), nbv, 0)
+            return (new_s, jnp.logical_or(started, active)), (out_b, out_nb)
+
+        (s0, _), (bs_o, nb_o) = jax.lax.scan(
+            step, (jnp.int32(0) + 0 * wN, wN < 0),
+            (sym_arr[::-1], valid_arr[::-1]))
+        return s0, bs_o[::-1], nb_o[::-1]
+
+    # two interleaved states: even positions from state0, odd from state1;
+    # each chain's last symbol has no transition (emitted on bit exhaustion)
+    s0w, t0b, t0n = wchain(wseq[0::2], wvalid[0::2])
+    s1w, t1b, t1n = wchain(wseq[1::2], wvalid[1::2])
+    wf_val = jnp.concatenate([jnp.stack([s0w, s1w]),
+                              jnp.stack([t0b, t1b], axis=1).reshape(-1)])
+    wf_nb = jnp.concatenate([jnp.full((2,), 6, jnp.int32),
+                             jnp.stack([t0n, t1n], axis=1).reshape(-1)])
+    wtotal_bits = jnp.sum(wf_nb)
+    wprefix = (jnp.cumsum(wf_nb) - wf_nb).astype(jnp.int32)
+    wstream_bytes = (wtotal_bits + 1 + 7) >> 3
+    # tree region bytes: [desc (forward bits)] [backward bitstream]
+    WTREE_CAP = 160
+    wwords = jnp.zeros((WTREE_CAP // 4 + plz.DUMP_SLOTS,), jnp.uint32)
+    all_v = jnp.concatenate([wdv, wf_val]).astype(jnp.uint64)
+    all_n = jnp.concatenate([wdb, wf_nb])
+    wdesc_off = (jnp.cumsum(wdb) - wdb).astype(jnp.int32)
+    wfield_off = wd_bytes * 8 + (wtotal_bits - wprefix - wf_nb)
+    all_o = jnp.concatenate([wdesc_off, wfield_off])
+    wfp = jnp.arange(all_v.shape[0], dtype=jnp.int32)
+    wemit = all_n > 0
+    for w in range(2):
+        part = ((all_v << (all_o & 31).astype(jnp.uint64))
+                >> jnp.uint64(32 * w)) & jnp.uint64(0xFFFFFFFF)
+        t2 = jnp.where(wemit, jnp.clip((all_o >> 5) + w, 0, WTREE_CAP // 4 - 1),
+                       plz.dump_spread(wfp, WTREE_CAP // 4))
+        wwords = wwords.at[t2].add(part.astype(jnp.uint32))
+    # sentinel 1-bit at the top of the backward bitstream
+    wpb = wd_bytes * 8 + wtotal_bits
+    wwords = wwords.at[jnp.clip(wpb >> 5, 0, WTREE_CAP // 4 - 1)].add(
+        jnp.uint32(1) << (wpb & 31).astype(jnp.uint32))
+    wtree_u8 = ((wwords[:WTREE_CAP // 4, None]
+                 >> (jnp.arange(4, dtype=jnp.uint32) * 8)) & 0xFF
+                ).astype(jnp.uint8).reshape(-1)
+    wthdr = wd_bytes + wstream_bytes
+    fse_ok = jnp.logical_and(jnp.logical_and(wnok, wtok), wthdr < 128)
+    fse_ok = jnp.logical_and(fse_ok, wN >= 2)
+
+    use_fse_w = jnp.logical_and(fse_ok, jnp.logical_or(
+        jnp.logical_not(direct_ok), 1 + wthdr < direct_tree_bytes))
+    ok = jnp.logical_and(ok, jnp.logical_or(direct_ok, fse_ok))
+    tree_hdr = jnp.where(use_fse_w, wthdr, tree_hdr)
+    tree_bytes = jnp.where(use_fse_w, 1 + wthdr, direct_tree_bytes)
 
     # four streams: 3 x ceil(n/4) then the rest
     per = (n_lit + 3) >> 2
@@ -1286,8 +1368,11 @@ def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
     hdr5 = ((w0[None] >> (8 * jnp.arange(5, dtype=jnp.int64))) & 0xFF).astype(jnp.uint8)
     sec = jnp.where(po < 5, hdr5[jnp.clip(po, 0, 4)], 0).astype(jnp.uint8)
     sec = jnp.where(po == 5, tree_hdr.astype(jnp.uint8), sec)
+    tree_payload = jnp.where(use_fse_w,
+                             wtree_u8[jnp.clip(po - 6, 0, WTREE_CAP - 1)],
+                             tree_nib[jnp.clip(po - 6, 0, 127)])
     sel = jnp.logical_and(po >= 6, po < 5 + tree_bytes)
-    sec = jnp.where(sel, tree_nib[jnp.clip(po - 6, 0, 127)], sec)
+    sec = jnp.where(sel, tree_payload, sec)
     jo = 5 + tree_bytes
     jump = jnp.stack([sbytes[0] & 0xFF, sbytes[0] >> 8,
                       sbytes[1] & 0xFF, sbytes[1] >> 8,

@@ -51,6 +51,18 @@ def _kernel(out_cap: int, w_words: int,
         w = words_ref[0, 0, ic >> 2]
         return (w >> ((i & 3) * 8)) & 0xFF
 
+    def get3(i):
+        """Bytes at i, i+1, i+2 from two word loads (the wrapper pads the
+        word array, so i>>2 + 1 is always in bounds for i < csize)."""
+        wi = jnp.clip(i >> 2, jnp.int32(0), jnp.int32(w_words - 2))
+        w0 = words_ref[0, 0, wi]
+        w1 = words_ref[0, 0, wi + 1]
+        sh = (i & 3) * 8
+        lo = jax.lax.shift_right_logical(w0, sh)
+        hi = jax.lax.shift_left(w1, (32 - sh) & jnp.int32(31))
+        v = jnp.where(sh == 0, w0, lo | hi)
+        return v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
+
     def read_ext(ip, ln):
         """LZ4 length extension: add bytes until one != 255.  Returns
         (new_ip, new_ln); caller checks ip <= csize afterwards."""
@@ -73,53 +85,99 @@ def _kernel(out_cap: int, w_words: int,
 
     def loop_body(s):
         ip, op, err, done = s
-        token = getb(ip)
-        ip = ip + 1
+        token, tb1, tb2 = get3(ip)
+        ll0 = token >> 4
+        ml0 = token & 15
 
-        # ---- literal run -----------------------------------------------------
-        ll = token >> 4
-        ip, ll = jax.lax.cond(ll == 15,
-                              lambda a: read_ext(*a),
-                              lambda a: a, (ip, ll))
-        err = jnp.logical_or(err, ip + ll > csize)
-        lit_ok = jnp.logical_and(jnp.logical_not(err), op + ll <= out_cap)
+        # ---------------- fast path: short literals + short in-bounds match --
+        # (ll<15, ml<15, one wild block each, no self-overlap) — the common
+        # case by far (avg literal run 2.2 B, avg match 11.2 B on the mixed
+        # corpus; PERF_MODEL.md §2)
+        q = ip + 1 + ll0                      # offset field position
+        ob0, ob1, _ = get3(q)
+        off_f = ob0 | (ob1 << 8)
+        ml_f = ml0 + MIN_MATCH
+        terminal_f = ip + 1 + ll0 == csize
+        fast = jnp.logical_and(ll0 < 15, ml0 < 15)
+        fast = jnp.logical_and(fast, jnp.logical_or(terminal_f, ml_f <= off_f))
+        fast = jnp.logical_and(fast, op + ll0 + ml_f <= out_cap)
+        fast = jnp.logical_and(fast, q + 2 <= csize)
+        fast = jnp.logical_and(fast, off_f <= op + ll0)
+        fast = jnp.logical_or(jnp.logical_and(fast, off_f > 0),
+                              jnp.logical_and(terminal_f,
+                                              jnp.logical_and(ll0 < 15,
+                                                              op + ll0 <= out_cap)))
 
-        @pl.when(jnp.logical_and(lit_ok, ll > 0))
-        def _():
-            bc.copy_bytes(lanes_ref, out_ref, ip, op, ll)
+        def fast_part(a):
+            ip, op, err, done = a
 
-        ip = ip + ll
-        op = op + ll
-        done = ip == csize  # terminal token: literals end exactly at block end
-
-        # ---- match -----------------------------------------------------------
-        def match_part(a):
-            ip, op, err = a
-            err = jnp.logical_or(err, ip + 2 > csize)
-            off = getb(ip) | (getb(ip + 1) << 8)
-            ip = ip + 2
-            ml = token & 15
-            ip, ml = jax.lax.cond(ml == 15,
-                                  lambda b: read_ext(*b),
-                                  lambda b: b, (ip, ml))
-            ml = ml + MIN_MATCH
-            err = jnp.logical_or(err, ip > csize)
-            err = jnp.logical_or(err, jnp.logical_or(off == 0, off > op))
-            m_ok = jnp.logical_and(jnp.logical_not(err), op + ml <= out_cap)
-
-            @pl.when(jnp.logical_and(m_ok, off >= bc.BLK))
+            @pl.when(ll0 > 0)
             def _():
-                bc.copy_bytes(out_ref, out_ref, op - off, op, ml)
+                v = bc.window128(lanes_ref, ip + 1)
+                bc.store128_wild(out_ref, op, v)
 
-            @pl.when(jnp.logical_and(m_ok, off < bc.BLK))
+            op2 = op + ll0
+
+            @pl.when(jnp.logical_not(terminal_f))
             def _():
-                bc.copy_pattern(out_ref, op, off, ml)
+                v = bc.window128(out_ref, op2 - off_f)
+                bc.store128_wild(out_ref, op2, v)
 
-            return ip, op + ml, err
+            ip2 = jnp.where(terminal_f, csize, q + 2)
+            op3 = jnp.where(terminal_f, op2, op2 + ml_f)
+            return ip2, op3, err, terminal_f
 
-        ip, op, err = jax.lax.cond(
-            jnp.logical_or(done, err), lambda a: a, match_part, (ip, op, err))
-        return ip, op, err, done
+        def slow_part(a):
+            ip, op, err, done = a
+            ip = ip + 1
+
+            # ---- literal run ---------------------------------------------------
+            ll = ll0
+            ip, ll = jax.lax.cond(ll == 15,
+                                  lambda a2: read_ext(*a2),
+                                  lambda a2: a2, (ip, ll))
+            err = jnp.logical_or(err, ip + ll > csize)
+            lit_ok = jnp.logical_and(jnp.logical_not(err), op + ll <= out_cap)
+
+            @pl.when(jnp.logical_and(lit_ok, ll > 0))
+            def _():
+                bc.copy_bytes(lanes_ref, out_ref, ip, op, ll)
+
+            ip = ip + ll
+            op = op + ll
+            done = ip == csize  # terminal token: literals end at block end
+
+            # ---- match ---------------------------------------------------------
+            def match_part(a2):
+                ip, op, err = a2
+                err = jnp.logical_or(err, ip + 2 > csize)
+                off = getb(ip) | (getb(ip + 1) << 8)
+                ip = ip + 2
+                ml = ml0
+                ip, ml = jax.lax.cond(ml == 15,
+                                      lambda b2: read_ext(*b2),
+                                      lambda b2: b2, (ip, ml))
+                ml = ml + MIN_MATCH
+                err = jnp.logical_or(err, ip > csize)
+                err = jnp.logical_or(err, jnp.logical_or(off == 0, off > op))
+                m_ok = jnp.logical_and(jnp.logical_not(err), op + ml <= out_cap)
+
+                @pl.when(jnp.logical_and(m_ok, off >= bc.BLK))
+                def _():
+                    bc.copy_bytes(out_ref, out_ref, op - off, op, ml)
+
+                @pl.when(jnp.logical_and(m_ok, off < bc.BLK))
+                def _():
+                    bc.copy_pattern(out_ref, op, off, ml)
+
+                return ip, op + ml, err
+
+            ip, op, err = jax.lax.cond(
+                jnp.logical_or(done, err), lambda a2: a2, match_part,
+                (ip, op, err))
+            return ip, op, err, done
+
+        return jax.lax.cond(fast, fast_part, slow_part, (ip, op, err, done))
 
     ip0 = jnp.int32(0)
     _, op, err, done = jax.lax.while_loop(
@@ -144,8 +202,9 @@ def decompress_batch(comp: jax.Array, comp_sizes: jax.Array, out_cap: int,
     :func:`tpucomp.formats.lz4.decompress_batch` (vmapped XLA path)."""
     B, comp_cap = comp.shape
 
-    # scalar-parse view: bytes packed 4-per-word, little-endian
-    wpad = _round_up(max(comp_cap, 4), 4)
+    # scalar-parse view: bytes packed 4-per-word, little-endian (>= 2 words:
+    # the fast path loads word pairs)
+    wpad = _round_up(max(comp_cap, 8), 4)
     cw = jnp.pad(comp, ((0, 0), (0, wpad - comp_cap))).astype(jnp.int32)
     cw = cw.reshape(B, 1, wpad // 4, 4)
     words = cw[..., 0] | (cw[..., 1] << 8) | (cw[..., 2] << 16) | (cw[..., 3] << 24)
