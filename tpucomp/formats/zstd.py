@@ -270,11 +270,11 @@ def _normalize_counts(freq: jax.Array, size: int):
     norm = base + jnp.where(present, bonus, 0)
     # exact-sum correction on the largest entries
     for _ in range(4):
-        resid = target - jnp.sum(jnp.where(present, norm, 0))
+        resid = (target - jnp.sum(jnp.where(present, norm, 0),
+                                  dtype=jnp.int32)).astype(jnp.int32)
         top = jnp.argmax(jnp.where(present, norm, 0))
-        delta = jnp.clip(resid, 1 - norm[top], None)
-        norm = norm.at[top].add(jnp.where(present, delta, 0)[top] * 0 + delta)
-        norm = jnp.where(present, norm, 0)
+        delta = jnp.clip(resid, 1 - norm[top], None).astype(jnp.int32)
+        norm = jnp.where(present, norm.at[top].add(delta), 0)
     norm = jnp.where(absent, -1, jnp.where(present, norm, 0))
     ok = jnp.sum(jnp.where(below, jnp.abs(norm), 0)) == size
     ok = jnp.logical_and(ok, nsym >= 2)   # degenerate alphabets use RLE/predef
@@ -1221,10 +1221,10 @@ def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
     whist = jnp.zeros((14,), jnp.int32).at[
         jnp.where(wvalid, wseq, 13)].add(1)[:13]
     wnorm, wnsym, wnok = _normalize_counts(whist, 64)
-    # cap the largest probability so every transition reads >= 1 bit — the
-    # decoder detects stream end by bit exhaustion (over-read), which a 0-bit
-    # transition would never trigger
-    wnok = jnp.logical_and(wnok, jnp.max(wnorm) <= 32)
+    # termination safety: the decoder detects stream end by over-reading, and
+    # the final state of each chain is the symbol's FIRST slot (x = count c),
+    # whose read width acc - bitlen(c) + 1 >= 1 whenever c < table size —
+    # guaranteed because _normalize_counts rejects single-symbol alphabets
     wst_t, wnb_t, wbs_t, wfirst_t, wtok = _fse_enc_traced(wnorm, wnsym, 6)
     wdv, wdb, wdl = _serialize_ncount(wnorm, wnsym, 6)
     wd_bytes = (wdl + 7) >> 3
@@ -1442,7 +1442,16 @@ def _encode_block_body(data: jax.Array, size: jax.Array):
     ml_code = jnp.clip(jnp.searchsorted(ml_base_t, jnp.maximum(t_ml, 3), side="right").astype(jnp.int32) - 1, 0, 52)
     ll_x = t_ll - ll_base_t[ll_code]
     ml_x = jnp.maximum(t_ml, 3) - ml_base_t[ml_code]
-    ofv = t_off + 3
+    # repeat-offset code: Offset_Value 1 = "same offset as the previous
+    # sequence" (RFC 8878 3.1.1.3.2.1.1) — with literals present (ll==0
+    # shifts the rep meanings).  Saves the whole offset field on
+    # repeated-stride data; rep1 stays correct under chaining (using it
+    # leaves the rep stack unchanged).
+    prev_off = jnp.concatenate([jnp.zeros((1,), jnp.int32), t_off[:-1]])
+    is_rep1 = jnp.logical_and(
+        jnp.logical_and(t_off == prev_off, t_ll > 0),
+        jnp.logical_and(t_valid, ti > 0))
+    ofv = jnp.where(is_rep1, 1, t_off + 3)
     of_code = jnp.zeros((cap_tok,), jnp.int32)
     for k in range(1, 18):
         of_code = jnp.where((ofv >> k) > 0, k, of_code)
