@@ -7,8 +7,12 @@ kernels (one threadblock per chunk, ``doc/algorithms_overview.md:50-52``):
 
 - :mod:`.bytecopy` — 128-byte wild-copy primitives (lane-roll + blend).
 - :mod:`.lz4_decode` — LZ4 block decoder (SMEM token walk + VPU copies).
+- :mod:`.snappy_decode` — Snappy decoder (same shape as the LZ4 kernel).
 - :mod:`.ans_decode` — rANS decoder (fully vectorized: compare/one-hot table
-  lookups + f32 matmul word distribution; no gathers, no scalar walk).
+  lookups + f32 matmul word distribution; no gathers, no scalar walk).  Its
+  :func:`~tpucomp.ops.pallas.ans_decode.decode_block` is the device-side API
+  analog (``README.md:17``): a rANS decode block callable from ANY Pallas
+  kernel.
 
 ``PALLAS_DECODERS`` maps format name -> drop-in replacement for the
 registry's ``decompress_batch`` (same signature/semantics); ``bench.py
@@ -29,6 +33,14 @@ def _lz4_decompress_batch(comp, comp_sizes, out_cap):
                                        interpret=interpret)
 
 
+def _snappy_decompress_batch(comp, comp_sizes, out_cap):
+    import jax
+    from tpucomp.ops.pallas import snappy_decode
+    interpret = jax.default_backend() != "tpu"
+    return snappy_decode.decompress_batch(comp, comp_sizes, out_cap,
+                                          interpret=interpret)
+
+
 def _ans_decompress_batch(comp, comp_sizes, out_cap):
     import jax
     from tpucomp.ops.pallas import ans_decode
@@ -39,5 +51,6 @@ def _ans_decompress_batch(comp, comp_sizes, out_cap):
 
 PALLAS_DECODERS = {
     "lz4": _lz4_decompress_batch,
+    "snappy": _snappy_decompress_batch,
     "ans": _ans_decompress_batch,
 }

@@ -44,16 +44,23 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(T: int, max_word_pos: int,
-            size_ref, tw_ref, freq_ref, cum_ref, cumn_ref, st_ref, wc_ref,
-            stream_ref, out_ref, okv_ref):
-    b = pl.program_id(0)
-    size = size_ref[b]
-    total_words = tw_ref[b]
-    freq = freq_ref[0]   # (256, 1) int32
-    cum = cum_ref[0]
-    cumn = cumn_ref[0]
+def decode_block(size, freq, cum, cumn, x0, stream_ref, out_ref,
+                 *, steps: int, max_word_pos: int):
+    """Device-side rANS decode block — callable from ANY Pallas TPU kernel.
 
+    The analog of the reference's device-side ANS API (``README.md:17`` — the
+    one format nvCOMP exposes for use *inside* user kernels).  Decodes up to
+    ``size`` bytes (128 interleaved lanes, ``steps`` rounds of 128) from a
+    v2-container word stream into ``out_ref``, entirely with vector ops.
+
+    Args: ``size``/scalars int32; ``freq/cum/cumn`` (256,1) int32 tables;
+    ``x0`` (1,128) int32 initial states; ``stream_ref`` a (1, rows, 128) VMEM
+    ref of u16 words (one per lane); ``out_ref`` a (1, >=steps, 128) VMEM ref
+    receiving one decoded byte per lane per step.  Returns
+    ``(x_fin, ptr_fin, consumed)`` for the caller's validity checks.
+    Trace it with x64 disabled (Mosaic cannot lower i64).
+    """
+    T = steps
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (256, N), 0)
     iota_j = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
@@ -99,10 +106,21 @@ def _kernel(T: int, max_word_pos: int,
         out_ref[0, pl.ds(t, 1), :] = jnp.where(act, sym, jnp.int32(0))
         return x, ptr, consumed
 
-    x0 = st_ref[0]  # (1, N) int32 bit pattern of the u32 states
-    x_fin, ptr_fin, consumed = jax.lax.fori_loop(
+    return jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(T), body,
         (x0, jnp.int32(0), jnp.zeros((1, N), jnp.int32)))
+
+
+def _kernel(T: int, max_word_pos: int,
+            size_ref, tw_ref, freq_ref, cum_ref, cumn_ref, st_ref, wc_ref,
+            stream_ref, out_ref, okv_ref):
+    b = pl.program_id(0)
+    size = size_ref[b]
+    total_words = tw_ref[b]
+
+    x_fin, ptr_fin, consumed = decode_block(
+        size, freq_ref[0], cum_ref[0], cumn_ref[0], st_ref[0],
+        stream_ref, out_ref, steps=T, max_word_pos=max_word_pos)
 
     # per-lane validity vector; reduced to a chunk status in the XLA wrapper
     okv = jnp.logical_and(x_fin == jnp.int32(1 << 16),
