@@ -212,7 +212,7 @@ class Manager:
                       size=cfg.decomp_data_size, num_chunks=cfg.num_chunks)
         comp = _as_device_u8(comp)
         out, status = _decompress_frame(
-            self.spec, comp, cfg.num_chunks, cfg.chunk_size,
+            self.format, self.spec, comp, cfg.num_chunks, cfg.chunk_size,
             bool(cfg.checksum_mode), self.checksum_policy, cfg.decomp_data_size)
         cfg._status = status
         return out
@@ -342,9 +342,11 @@ def _bucket_chunk_cap(raw: int) -> int:
     return cap
 
 
-def _decompress_frame(spec, comp: jax.Array, n: int, chunk_size: int,
+def _decompress_frame(fmt: str, spec, comp: jax.Array, n: int, chunk_size: int,
                       has_crc: bool, policy: ChecksumPolicy, uncomp_size: int):
+    from tpucomp import batched as _batched
     from tpucomp.formats import crc32 as c32
+    decode = _batched._decode_fn(fmt, spec, "auto")  # Pallas kernels on TPU
 
     cap = comp.shape[0]
     gb = lambda o: comp[jnp.clip(o, 0, cap - 1)].astype(jnp.int64)
@@ -368,7 +370,7 @@ def _decompress_frame(spec, comp: jax.Array, n: int, chunk_size: int,
     col = jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
     comp_chunks = jnp.where(col < csz[:, None], comp_chunks, 0)
 
-    dec, dsz, dst = spec.decompress_batch(comp_chunks, csz, chunk_size)
+    dec, dsz, dst = decode(comp_chunks, csz, chunk_size)
     status = jnp.max(dst)
 
     verify = policy.verifies and has_crc
