@@ -80,9 +80,17 @@ def main() -> None:
         log(f"decode path: Pallas kernel ({fmt})")
     else:
         log(f"decode path: fused XLA ({fmt})")
+    try:
+        enc_batch = batched._encode_fn(fmt, spec, args.backend)
+    except ValueError:  # --backend pallas but no Pallas encoder for fmt
+        enc_batch = spec.compress_batch
+    log(f"encode path: {'Pallas kernel' if enc_batch is not spec.compress_batch else 'fused XLA'} ({fmt})")
 
     corpus = synth.mixed_corpus(mb << 20, seed=42).tobytes()
     chunks = [corpus[o:o + chunk] for o in range(0, len(corpus), chunk)]
+    if chunks and len(chunks[-1]) != chunk:
+        # typed codecs (cascaded/bitcomp) require element-size-multiple chunks
+        chunks = chunks[:-1]
     nt = len(chunks) // B
     n_used = nt * B
     total_bytes = sum(len(c) for c in chunks[:n_used])
@@ -171,7 +179,7 @@ def main() -> None:
     @jax.jit
     def comp_fn(d, s):
         return jax.lax.map(
-            lambda t: spec.compress_batch(t[0], t[1], opts, cap), (d, s))
+            lambda t: enc_batch(t[0], t[1], opts, cap), (d, s))
 
     def timed(fn, *fargs):
         times = []

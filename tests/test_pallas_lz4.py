@@ -10,7 +10,7 @@ from tpucomp.chunk import ChunkBatch
 from tpucomp.constants import Status
 from tpucomp.formats import lz4 as flz4
 from tpucomp.interop import cpu as interop
-from tpucomp.ops.pallas import lz4_decode
+from tpucomp.ops.pallas import lz4_decode, lz4_encode
 from tpucomp.utils import synth
 
 HAVE_LZ4 = interop.available().get("lz4", False)
@@ -120,3 +120,81 @@ def test_output_buffer_too_small():
     out, osz, stat = _decode([comp], 1024)
     assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
     assert osz[0] == 0
+
+
+# ---------------------------------------------------------------- encoder ---
+
+def _encode(chunks: list[bytes], out_cap: int | None = None):
+    cb = ChunkBatch.from_chunks(chunks)
+    if out_cap is None:
+        out_cap = flz4.max_compressed_chunk_size(cb.max_chunk_bytes)
+    out, osz, stat = lz4_encode.compress_batch(
+        cb.data, cb.sizes, out_cap, interpret=True)
+    return np.asarray(out), np.asarray(osz), np.asarray(stat)
+
+
+@pytest.mark.skipif(not HAVE_LZ4, reason="liblz4 missing")
+def test_encode_liblz4_bit_exact_round_trip():
+    rng = np.random.default_rng(21)
+    raws = [
+        b"hello world, hello world, hello world!" * 40,
+        bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),   # low entropy
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),  # incompressible
+        b"\x00" * 3000,                                    # RLE (offset 1)
+        b"ab" * 1500,                                      # offset 2
+        (b"0123456789abcdef" * 20)[:300] * 12,             # long offset
+        b"short",                                          # < MF_LIMIT: literal-only
+        b"x",
+        b"",
+    ]
+    out, osz, stat = _encode(raws)
+    for i, r in enumerate(raws):
+        assert stat[i] == Status.SUCCESS, (i, stat[i])
+        dec = interop.lz4_decompress(out[i, :osz[i]].tobytes(), len(r))
+        assert dec == r, i
+
+
+@pytest.mark.skipif(not HAVE_LZ4, reason="liblz4 missing")
+def test_encode_mixed_corpus_ratio():
+    buf = synth.mixed_corpus(60_000, seed=11).tobytes()
+    chunks = [buf[i:i + 8192] for i in range(0, len(buf), 8192)]
+    out, osz, stat = _encode(chunks)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert interop.lz4_decompress(out[i, :osz[i]].tobytes(), len(c)) == c
+    # hash-table fast scan should land in liblz4-fast's ratio neighborhood
+    ref = sum(len(interop.lz4_compress(c)) for c in chunks)
+    assert osz.sum() <= ref * 1.10, (int(osz.sum()), ref)
+
+
+def test_encode_decode_pallas_round_trip():
+    """Pallas encoder output decoded by the Pallas decoder."""
+    buf = synth.mixed_corpus(24_000, seed=8).tobytes()
+    chunks = [buf[i:i + 4096] for i in range(0, len(buf), 4096)]
+    cout, csz, cstat = _encode(chunks)
+    assert (cstat == Status.SUCCESS).all()
+    comp = [cout[i, :csz[i]].tobytes() for i in range(len(chunks))]
+    out, osz, stat = _decode(comp, 4096)
+    for i, c in enumerate(chunks):
+        assert stat[i] == Status.SUCCESS
+        assert osz[i] == len(c)
+        assert out[i, :len(c)].tobytes() == c
+
+
+def test_encode_output_buffer_too_small():
+    rng = np.random.default_rng(13)
+    raw = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))  # incompressible
+    out, osz, stat = _encode([raw], out_cap=1024)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0
+
+
+def test_encode_via_batched_backend_param():
+    import tpucomp.batched as batched
+    buf = synth.mixed_corpus(16_000, seed=3).tobytes()
+    cb = ChunkBatch.from_bytes(buf, chunk_size=4096)
+    comp, stat = batched.compress("lz4", cb, backend="pallas")
+    assert (np.asarray(stat) == Status.SUCCESS).all()
+    dec, dstat = batched.decompress("lz4", comp, 4096, backend="xla")
+    assert (np.asarray(dstat) == Status.SUCCESS).all()
+    assert np.asarray(dec.data).reshape(-1)[:len(buf)].tobytes() == buf

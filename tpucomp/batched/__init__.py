@@ -134,8 +134,30 @@ def _input_violations(fmt: str, spec: CodecSpec, sizes: jax.Array,
     return v
 
 
+def _encode_fn(fmt: str, spec: CodecSpec, backend: str) -> Callable:
+    """Resolve the encode implementation for ``backend`` (same policy as
+    :func:`_decode_fn`; ``TPUCOMP_ENCODE_BACKEND`` overrides auto)."""
+    import os
+    from tpucomp.ops import pallas as pk
+    if backend == "auto":
+        backend = os.environ.get("TPUCOMP_ENCODE_BACKEND", "auto")
+    if backend == "auto":
+        backend = ("pallas" if fmt in pk.PALLAS_ENCODERS
+                   and jax.default_backend() == "tpu" else "xla")
+    if backend == "pallas":
+        try:
+            return pk.PALLAS_ENCODERS[fmt]
+        except KeyError:
+            raise ValueError(f"no Pallas encoder for {fmt!r}; "
+                             f"available: {sorted(pk.PALLAS_ENCODERS)}") from None
+    if backend != "xla":
+        raise ValueError(f"unknown backend {backend!r} (auto/xla/pallas)")
+    return spec.compress_batch
+
+
 def compress(fmt: str, batch: ChunkBatch, opts: Any = None,
-             out_cap: int | None = None) -> tuple[ChunkBatch, jax.Array]:
+             out_cap: int | None = None,
+             backend: str = "auto") -> tuple[ChunkBatch, jax.Array]:
     """Analog of ``nvcompBatched<Fmt>CompressAsync``.
 
     Returns ``(compressed_batch, statuses)``; the compressed batch's ``data`` is
@@ -145,6 +167,9 @@ def compress(fmt: str, batch: ChunkBatch, opts: Any = None,
     ``ERROR_ALIGNMENT`` for the whole call — mirroring ``nvcompStatus_t``
     semantics (``CHANGELOG.md:15-16``; validators in
     ``benchmark_lz4_chunked.cu:48-84``).
+
+    ``backend``: ``"auto"`` (Pallas kernel on TPU when available, else XLA),
+    ``"xla"``, or ``"pallas"`` (interpreter mode off-TPU).
     """
     spec = _get(fmt)
     if spec.decompression_only:
@@ -156,8 +181,10 @@ def compress(fmt: str, batch: ChunkBatch, opts: Any = None,
     if batch.max_chunk_bytes % align or out_cap % align:
         return _alignment_failure(fmt, batch.num_chunks, out_cap)
     tlog.api_call(f"batched.{fmt}.compress", num_chunks=batch.num_chunks,
-                  max_chunk_bytes=batch.max_chunk_bytes, out_cap=out_cap)
-    out, sizes, statuses = spec.compress_batch(batch.data, batch.sizes, opts, out_cap)
+                  max_chunk_bytes=batch.max_chunk_bytes, out_cap=out_cap,
+                  backend=backend)
+    out, sizes, statuses = _encode_fn(fmt, spec, backend)(
+        batch.data, batch.sizes, opts, out_cap)
     viol = _input_violations(fmt, spec, batch.sizes, opts)
     bad = viol != 0
     statuses = jnp.where(bad, viol, statuses)

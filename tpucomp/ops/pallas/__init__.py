@@ -49,8 +49,21 @@ def _ans_decompress_batch(comp, comp_sizes, out_cap):
                                        interpret=interpret)
 
 
+def _lz4_compress_batch(data, sizes, opts, out_cap):
+    import jax
+    from tpucomp.ops.pallas import lz4_encode
+    # opts carries the data-type hint; the SMEM hash probe is byte-granular so
+    # the hint is accepted and ignored (output is valid for every type)
+    interpret = jax.default_backend() != "tpu"
+    return lz4_encode.compress_batch(data, sizes, out_cap, interpret=interpret)
+
+
 PALLAS_DECODERS = {
     "lz4": _lz4_decompress_batch,
     "snappy": _snappy_decompress_batch,
     "ans": _ans_decompress_batch,
+}
+
+PALLAS_ENCODERS = {
+    "lz4": _lz4_compress_batch,
 }
