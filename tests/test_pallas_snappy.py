@@ -121,3 +121,82 @@ def test_output_buffer_too_small():
     out, osz, stat = _decode([comp], 1024)
     assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
     assert osz[0] == 0
+
+
+# ---------------------------------------------------------------- encoder ---
+
+def _encode(chunks, out_cap=None):
+    from tpucomp.ops.pallas import snappy_encode
+    cb = ChunkBatch.from_chunks(chunks)
+    if out_cap is None:
+        out_cap = fsnappy.max_compressed_chunk_size(cb.max_chunk_bytes)
+    out, osz, stat = snappy_encode.compress_batch(
+        cb.data, cb.sizes, out_cap, interpret=True)
+    return np.asarray(out), np.asarray(osz), np.asarray(stat)
+
+
+@pytest.mark.skipif(not HAVE, reason="libsnappy missing")
+def test_encode_libsnappy_bit_exact_round_trip():
+    rng = np.random.default_rng(23)
+    raws = [
+        b"hello snappy, hello snappy, hello snappy! " * 40,
+        bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),  # incompressible
+        b"\x00" * 3000,                                    # offset-1, long match
+        b"ab" * 1500,
+        (b"0123456789abcdef" * 20)[:300] * 12,             # long offset
+        b"short",
+        b"x",
+        b"",
+    ]
+    out, osz, stat = _encode(raws)
+    for i, r in enumerate(raws):
+        assert stat[i] == Status.SUCCESS, (i, stat[i])
+        assert interop.snappy_decompress(out[i, :osz[i]].tobytes()) == r, i
+
+
+@pytest.mark.skipif(not HAVE, reason="libsnappy missing")
+def test_encode_long_literal_runs():
+    # literal runs needing 2- and 3-byte length tags (no matches at all)
+    rng = np.random.default_rng(29)
+    raws = [bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            for n in (61, 257, 300, 65_600)]
+    out, osz, stat = _encode(raws)
+    for i, r in enumerate(raws):
+        assert stat[i] == Status.SUCCESS
+        assert interop.snappy_decompress(out[i, :osz[i]].tobytes()) == r, i
+
+
+@pytest.mark.skipif(not HAVE, reason="libsnappy missing")
+def test_encode_mixed_corpus_ratio():
+    buf = synth.mixed_corpus(60_000, seed=11).tobytes()
+    chunks = [buf[i:i + 8192] for i in range(0, len(buf), 8192)]
+    out, osz, stat = _encode(chunks)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert interop.snappy_decompress(out[i, :osz[i]].tobytes()) == c
+    ref = sum(len(interop.snappy_compress(c)) for c in chunks)
+    # copy-1 elements are not emitted (copy-2 only), so allow a small gap
+    assert osz.sum() <= ref * 1.12, (int(osz.sum()), ref)
+
+
+def test_encode_decode_pallas_round_trip():
+    from tpucomp.ops.pallas import snappy_encode
+    buf = synth.mixed_corpus(24_000, seed=8).tobytes()
+    chunks = [buf[i:i + 4096] for i in range(0, len(buf), 4096)]
+    cout, csz, cstat = _encode(chunks)
+    assert (cstat == Status.SUCCESS).all()
+    comp = [cout[i, :csz[i]].tobytes() for i in range(len(chunks))]
+    out, osz, stat = _decode(comp, 4096)
+    for i, c in enumerate(chunks):
+        assert stat[i] == Status.SUCCESS
+        assert osz[i] == len(c)
+        assert out[i, :len(c)].tobytes() == c
+
+
+def test_encode_output_buffer_too_small():
+    rng = np.random.default_rng(13)
+    raw = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
+    out, osz, stat = _encode([raw], out_cap=1024)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0

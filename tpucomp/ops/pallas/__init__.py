@@ -64,6 +64,15 @@ PALLAS_DECODERS = {
     "ans": _ans_decompress_batch,
 }
 
+def _snappy_compress_batch(data, sizes, opts, out_cap):
+    import jax
+    from tpucomp.ops.pallas import snappy_encode
+    interpret = jax.default_backend() != "tpu"
+    return snappy_encode.compress_batch(data, sizes, out_cap,
+                                        interpret=interpret)
+
+
 PALLAS_ENCODERS = {
     "lz4": _lz4_compress_batch,
+    "snappy": _snappy_compress_batch,
 }

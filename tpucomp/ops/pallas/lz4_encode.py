@@ -57,13 +57,17 @@ def _kernel(out_cap: int, w_words: int, epoch_stride: int,
                           jnp.int32(0), unroll=False)
 
     def load32(i):
-        wi = jnp.clip(i >> 2, jnp.int32(0), jnp.int32(w_words - 2))
+        # i is always in [0, size): ip < mflimit and cand < ip, and the
+        # wrapper pads one word past the chunk cap, so no clip is needed.
+        wi = i >> 2
         w0 = words_ref[0, 0, wi]
         w1 = words_ref[0, 0, wi + 1]
         sh = (i & 3) * 8
         lo = jax.lax.shift_right_logical(w0, sh)
-        hi = jax.lax.shift_left(w1, (32 - sh) & jnp.int32(31))
-        return jnp.where(sh == 0, w0, lo | hi)
+        # double shift: (w1 << (31-sh)) << 1 == w1 << (32-sh), and == 0 when
+        # sh == 0 — avoids the select a single (32-sh)&31 shift would need
+        hi = jax.lax.shift_left(jax.lax.shift_left(w1, 31 - sh), jnp.int32(1))
+        return lo | hi
 
     def hash4(v):
         return jax.lax.shift_right_logical(v * jnp.int32(-1640531535),
@@ -71,25 +75,54 @@ def _kernel(out_cap: int, w_words: int, epoch_stride: int,
 
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, bc.BLK), 1)
 
+    # Hybrid match extension.  Short matches (the common case: ~7 bytes past
+    # MIN_MATCH on mixed data) are extended with scalar 4-byte word compares —
+    # no vector->scalar transfer, whose latency dominated the v1 kernel on
+    # match-dense data.  Only a match that survives 32 bytes falls through to
+    # the 128-byte VPU window loop (long-run data like the zeros ladder).
+    SCALAR_CAP = 32
+
     def match_len(a, c, cap_n):
-        """Length of the common prefix of input[a..] and input[c..], < cap_n."""
-        def cond(s):
-            l, first = s
-            return jnp.logical_and(first == bc.BLK, l < cap_n)
+        """Length of the common prefix of input[a..] and input[c..], <= cap_n."""
+        def s_cond(s):
+            l, go = s
+            return go
 
-        def body(s):
+        def s_body(s):
             l, _ = s
-            wa = bc.window128(lanes_ref, a + l)
-            wc = bc.window128(lanes_ref, c + l)
-            neq = wa != wc
-            idx = jnp.min(jnp.where(neq, lane_i, jnp.int32(bc.BLK)),
-                          keepdims=True)[0, 0]
-            return l + jnp.minimum(idx, jnp.int32(bc.BLK)), idx
+            x = load32(a + l) ^ load32(c + l)
+            eq4 = x == 0
+            # first differing byte of a nonzero xor (little-endian)
+            sub = ((x & 0xFF) == 0).astype(jnp.int32) \
+                + ((x & 0xFFFF) == 0).astype(jnp.int32) \
+                + ((x & 0xFFFFFF) == 0).astype(jnp.int32)
+            l2 = l + jnp.where(eq4, jnp.int32(4), sub)
+            go = jnp.logical_and(eq4, jnp.logical_and(l2 < cap_n,
+                                                      l2 < SCALAR_CAP))
+            return l2, go
 
-        l, first = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(bc.BLK)))
-        # l overshoots by (BLK - first) when a window fully matched then the
-        # next found a mismatch — the loop already adds only idx, so l is the
-        # exact prefix length; just cap it
+        l, _ = jax.lax.while_loop(s_cond, s_body,
+                                  (jnp.int32(0), cap_n > 0))
+        # l advances in 4s until the first mismatch, so l >= SCALAR_CAP means
+        # the first 32 bytes matched exactly — continue with vector windows
+        def v_tail(l0):
+            def cond(s):
+                l, first = s
+                return jnp.logical_and(first == bc.BLK, l < cap_n)
+
+            def body(s):
+                l, _ = s
+                wa = bc.window128(lanes_ref, a + l)
+                wc = bc.window128(lanes_ref, c + l)
+                neq = wa != wc
+                idx = jnp.min(jnp.where(neq, lane_i, jnp.int32(bc.BLK)),
+                              keepdims=True)[0, 0]
+                return l + idx, idx
+
+            l, _ = jax.lax.while_loop(cond, body, (l0, jnp.int32(bc.BLK)))
+            return l
+
+        l = jax.lax.cond(l >= SCALAR_CAP, v_tail, lambda l0: l0, l)
         return jnp.minimum(l, cap_n)
 
     def wr_byte(o, v):
@@ -137,6 +170,19 @@ def _kernel(out_cap: int, w_words: int, epoch_stride: int,
 
         return jax.lax.cond(ml > 0, with_match, lambda o: o, op)
 
+    def emit_fast(op, anchor, ll, ml, off):
+        """Whole short sequence (ll < 15, ml-4 < 15, 1+ll+2 <= 128 bytes) as
+        ONE composed vector and ONE wild store: literals rolled up a lane with
+        the token blended at lane 0 and the offset at lanes 1+ll, 2+ll."""
+        tok = (ll << 4) | (ml - 4)
+        w = pltpu.roll(bc.window128(lanes_ref, anchor), 1, axis=1)
+        seq = jnp.where(lane_i == 0, tok, w)
+        seq = jnp.where(lane_i == 1 + ll, off & 0xFF, seq)
+        seq = jnp.where(lane_i == 2 + ll,
+                        jax.lax.shift_right_logical(off, jnp.int32(8)), seq)
+        bc.store128_wild(out_ref, op, seq)
+        return op + 3 + ll
+
     mflimit = size - MF_LIMIT
     match_cap_end = size - LAST_LITERALS
 
@@ -151,15 +197,21 @@ def _kernel(out_cap: int, w_words: int, epoch_stride: int,
         cand_raw = table_ref[h]
         table_ref[h] = epoch + ip + 1
         cand = cand_raw - epoch - 1
-        good = jnp.logical_and(cand_raw > epoch, cand < ip)
-        good = jnp.logical_and(good, ip - cand <= 65535)
-        good = jnp.logical_and(good, load32(cand) == v)
+        # cheap plausibility gate first: the dependent load32(cand) (two SMEM
+        # loads behind the table load) only runs inside the branch, keeping it
+        # off the miss path entirely (pure-scan data never pays it)
+        plausible = jnp.logical_and(cand_raw > epoch, ip - cand <= 65535)
 
         def take(a):
             ip, anchor, op, _ = a
             ml = MIN_MATCH + match_len(ip + MIN_MATCH, cand + MIN_MATCH,
                                        match_cap_end - (ip + MIN_MATCH))
-            op2 = emit_seq(op, anchor, ip - anchor, ml, ip - cand)
+            ll = ip - anchor
+            fast = jnp.logical_and(ll < 15, ml - 4 < 15)
+            op2 = jax.lax.cond(
+                fast,
+                lambda o: emit_fast(o, anchor, ll, ml, ip - cand),
+                lambda o: emit_seq(o, anchor, ll, ml, ip - cand), op)
             ip2 = ip + ml
             # seed the table inside the match tail for better chaining
             h2 = hash4(load32(ip2 - 2))
@@ -171,7 +223,11 @@ def _kernel(out_cap: int, w_words: int, epoch_stride: int,
             step = 1 + jax.lax.shift_right_logical(misses, jnp.int32(SKIP_TRIGGER))
             return ip + step, anchor, op, misses + 1
 
-        return jax.lax.cond(good, take, skip, (ip, anchor, op, misses))
+        def probe(a):
+            good = load32(cand) == v
+            return jax.lax.cond(good, take, skip, a)
+
+        return jax.lax.cond(plausible, probe, skip, (ip, anchor, op, misses))
 
     ip0 = jnp.int32(0)
     _, anchor, op, _ = jax.lax.while_loop(
