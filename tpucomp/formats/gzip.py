@@ -25,9 +25,9 @@ def max_compressed_chunk_size(max_chunk_bytes: int, opts=None) -> int:
     return _deflate.max_compressed_chunk_size(max_chunk_bytes) + 1024
 
 
-def decode_chunk(comp: jax.Array, comp_size: jax.Array,
-                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Decode one gzip member -> (out uint8[out_cap], out_size, status)."""
+def parse_member(comp: jax.Array, comp_size: jax.Array):
+    """Parse one member's header/trailer -> (off, deflate_end, stored_crc,
+    isize, header_ok).  Vmappable; shared by the XLA and Pallas decode paths."""
     cap = comp.shape[0]
     comp_size = comp_size.astype(jnp.int32)
     pos32 = jnp.arange(cap, dtype=jnp.int32)
@@ -60,10 +60,7 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
     ok = jnp.logical_and(ok, off + 8 <= comp_size)
 
     deflate_end = jnp.maximum(comp_size - 8, 0)
-    out, osz, dstat = _deflate.decode_chunk(
-        comp, deflate_end, out_cap, start_byte=jnp.where(ok, off, 0))
 
-    # trailer: CRC32 + ISIZE (both LE, at comp_size-8)
     def u32_at(o):
         return (gb(o).astype(jnp.int64) | (gb(o + 1).astype(jnp.int64) << 8)
                 | (gb(o + 2).astype(jnp.int64) << 16)
@@ -71,6 +68,16 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
 
     stored_crc = u32_at(comp_size - 8)
     isize = u32_at(comp_size - 4)
+    return off, deflate_end, stored_crc, isize, ok
+
+
+def decode_chunk(comp: jax.Array, comp_size: jax.Array,
+                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode one gzip member -> (out uint8[out_cap], out_size, status)."""
+    off, deflate_end, stored_crc, isize, ok = parse_member(comp, comp_size)
+    out, osz, dstat = _deflate.decode_chunk(
+        comp, deflate_end, out_cap, start_byte=jnp.where(ok, off, 0))
+
     crc = c32.crc32_chunk(out, osz).astype(jnp.int64)
 
     ok = jnp.logical_and(ok, dstat == Status.SUCCESS)

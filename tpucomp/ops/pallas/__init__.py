@@ -7,7 +7,11 @@ kernels (one threadblock per chunk, ``doc/algorithms_overview.md:50-52``):
 
 - :mod:`.bytecopy` — 128-byte wild-copy primitives (lane-roll + blend).
 - :mod:`.lz4_decode` — LZ4 block decoder (SMEM token walk + VPU copies).
+- :mod:`.lz4_encode` / :mod:`.snappy_encode` — hash-table match-finder
+  encoders (4096-entry SMEM table, scalar scan, composed-store emission).
 - :mod:`.snappy_decode` — Snappy decoder (same shape as the LZ4 kernel).
+- :mod:`.deflate_decode` — RFC-1951 decoder (two-level canonical Huffman
+  tables built per block in SMEM, stateless bit peeks, VPU copies).
 - :mod:`.ans_decode` — rANS decoder (fully vectorized: compare/one-hot table
   lookups + f32 matmul word distribution; no gathers, no scalar walk).  Its
   :func:`~tpucomp.ops.pallas.ans_decode.decode_block` is the device-side API
@@ -49,6 +53,41 @@ def _ans_decompress_batch(comp, comp_sizes, out_cap):
                                        interpret=interpret)
 
 
+def _deflate_decompress_batch(comp, comp_sizes, out_cap):
+    import jax
+    from tpucomp.ops.pallas import deflate_decode
+    interpret = jax.default_backend() != "tpu"
+    return deflate_decode.decompress_batch(comp, comp_sizes, out_cap,
+                                           interpret=interpret)
+
+
+def _gzip_decompress_batch(comp, comp_sizes, out_cap):
+    """Hybrid gzip path: vectorized XLA header parse + Pallas deflate kernel
+    at the member offset + log-depth XLA CRC32/ISIZE trailer verification
+    (same structure as :mod:`tpucomp.formats.gzip`, same statuses)."""
+    import jax
+    import jax.numpy as jnp
+    from tpucomp.constants import Status
+    from tpucomp.formats import crc32 as c32
+    from tpucomp.formats import gzip as fgzip
+    from tpucomp.ops.pallas import deflate_decode
+    interpret = jax.default_backend() != "tpu"
+    off, dend, stored_crc, isize, hok = jax.vmap(fgzip.parse_member)(
+        comp, comp_sizes)
+    out, osz, dstat = deflate_decode.decompress_batch(
+        comp, dend, out_cap, interpret=interpret,
+        starts=jnp.where(hok, off, 0))
+    crc = jax.vmap(c32.crc32_chunk)(out, osz).astype(jnp.int64)
+    ok = jnp.logical_and(hok, dstat == Status.SUCCESS)
+    ok = jnp.logical_and(ok, crc == stored_crc)
+    ok = jnp.logical_and(ok, (osz.astype(jnp.int64) & 0xFFFFFFFF) == isize)
+    osz = jnp.where(ok, osz, 0).astype(jnp.int32)
+    out = jnp.where(jnp.arange(out_cap)[None, :] < osz[:, None], out, 0)
+    stat = jnp.where(ok, Status.SUCCESS,
+                     Status.ERROR_CANNOT_DECOMPRESS).astype(jnp.int32)
+    return out, osz, stat
+
+
 def _lz4_compress_batch(data, sizes, opts, out_cap):
     import jax
     from tpucomp.ops.pallas import lz4_encode
@@ -62,6 +101,8 @@ PALLAS_DECODERS = {
     "lz4": _lz4_decompress_batch,
     "snappy": _snappy_decompress_batch,
     "ans": _ans_decompress_batch,
+    "deflate": _deflate_decompress_batch,
+    "gzip": _gzip_decompress_batch,
 }
 
 def _snappy_compress_batch(data, sizes, opts, out_cap):
