@@ -1,0 +1,125 @@
+"""Pallas GDeflate tile decoder vs the pure-Python reference codec and the
+XLA path.  Interpreter mode on CPU (hermetic); the same kernel compiles for
+real on the TPU backend (``bench.py --codec gdeflate --backend pallas``)."""
+import numpy as np
+import pytest
+
+import gdeflate_pyref as pyref
+from tpucomp.chunk import ChunkBatch
+from tpucomp.constants import Status
+from tpucomp.formats import gdeflate as fgdef
+from tpucomp.ops.pallas import gdeflate_decode
+from tpucomp.utils import synth
+
+
+def _decode(tiles: list[bytes], out_cap: int):
+    cb = ChunkBatch.from_chunks(tiles)
+    out, osz, stat = gdeflate_decode.decompress_batch(
+        cb.data, cb.sizes, out_cap, interpret=True)
+    return np.asarray(out), np.asarray(osz), np.asarray(stat)
+
+
+def _raws():
+    rng = np.random.default_rng(7)
+    return [
+        b"hello gdeflate, hello gdeflate, hello gdeflate! " * 30,
+        bytes(rng.integers(0, 4, 3000, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),  # incompressible
+        b"\x00" * 3000,                                    # dist-1 RLE
+        b"ab" * 1200,
+        b"x",
+        b"",
+    ]
+
+
+@pytest.mark.parametrize("btype", [1, 2])
+def test_pyref_tiles_bit_exact(btype):
+    raws = _raws()
+    tiles = [pyref.compress(r, btype=btype) for r in raws]
+    out, osz, stat = _decode(tiles, 4096)
+    for i, r in enumerate(raws):
+        assert stat[i] == Status.SUCCESS, (i, stat[i])
+        assert osz[i] == len(r), (i, osz[i], len(r))
+        assert out[i, :len(r)].tobytes() == r, i
+
+
+def test_own_encoder_all_algos_round_trip():
+    buf = synth.mixed_corpus(24_000, seed=5).tobytes()
+    cb = ChunkBatch.from_bytes(buf, chunk_size=4096)
+    for algo in (0, 1, 2):
+        opts = fgdef.GdeflateOpts(algo=algo)
+        cout, csz, cstat = fgdef.compress_batch(
+            cb.data, cb.sizes, opts,
+            fgdef.max_compressed_chunk_size(cb.max_chunk_bytes, opts))
+        assert (np.asarray(cstat) == 0).all()
+        cout, csz = np.asarray(cout), np.asarray(csz)
+        tiles = [cout[i, :csz[i]].tobytes() for i in range(cb.num_chunks)]
+        out, osz, stat = _decode(tiles, 4096)
+        for i in range(cb.num_chunks):
+            assert stat[i] == Status.SUCCESS, (algo, i, stat[i])
+        assert out.reshape(-1)[:len(buf)].tobytes() == buf, algo
+
+
+def test_long_distance_64k_window():
+    """Distance codes 30/31 (bases 32769/49153) reach the 64 KiB page."""
+    rng = np.random.default_rng(3)
+    seg = bytes(rng.integers(0, 256, 40_000, dtype=np.uint8))
+    raw = seg + b"\x00" * 12_000 + seg[:12_000]  # far back-reference material
+    tile = pyref.compress(raw, btype=2)
+    out, osz, stat = _decode([tile], 65536)
+    assert stat[0] == Status.SUCCESS
+    assert osz[0] == len(raw)
+    assert out[0, :len(raw)].tobytes() == raw
+
+
+def test_matches_xla_path_on_valid_tiles():
+    rng = np.random.default_rng(3)
+    raws = [bytes(rng.integers(0, k, 2000, dtype=np.uint8)) for k in (2, 8, 256)]
+    tiles = [pyref.compress(r, btype=2) for r in raws]
+    cb = ChunkBatch.from_chunks(tiles)
+    p = list(map(np.asarray, gdeflate_decode.decompress_batch(
+        cb.data, cb.sizes, 2048, interpret=True)))
+    x = list(map(np.asarray, fgdef.decompress_batch(cb.data, cb.sizes, 2048)))
+    assert (p[2] == x[2]).all(), (p[2], x[2])
+    assert (p[1] == x[1]).all()
+    assert (p[0] == x[0]).all()
+
+
+def test_corrupt_inputs_error_not_crash():
+    rng = np.random.default_rng(9)
+    good = pyref.compress(b"corrupt me " * 50, btype=2)
+    truncated = good[:24]
+    bad_ntok = bytearray(good)
+    bad_ntok[2:6] = (1 << 24).to_bytes(4, "little")  # n_tokens way beyond raw
+    bad = [
+        b"\x03" + b"\x00" * 16,             # btype=3
+        truncated,
+        bytes(bad_ntok),
+        bytes(rng.integers(0, 256, 96, dtype=np.uint8)),
+        b"",
+    ]
+    out, osz, stat = _decode(bad, 4096)
+    for i in range(len(bad)):
+        if stat[i] != Status.SUCCESS:
+            assert osz[i] == 0
+    assert stat[0] == Status.ERROR_CANNOT_DECOMPRESS
+    assert stat[1] == Status.ERROR_CANNOT_DECOMPRESS
+    assert stat[2] == Status.ERROR_CANNOT_DECOMPRESS
+    assert stat[4] == Status.ERROR_CANNOT_DECOMPRESS
+
+
+def test_output_buffer_too_small():
+    tile = pyref.compress(b"tpucomp " * 600, btype=1)
+    out, osz, stat = _decode([tile], 1024)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0
+
+
+def test_stored_tiles():
+    rng = np.random.default_rng(5)
+    raw = bytes(rng.integers(0, 256, 1500, dtype=np.uint8))
+    tile = pyref.compress(raw, btype=0)
+    out, osz, stat = _decode([tile], 2048)
+    assert stat[0] == Status.SUCCESS
+    assert osz[0] == len(raw)
+    assert out[0, :len(raw)].tobytes() == raw

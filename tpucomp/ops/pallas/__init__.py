@@ -11,7 +11,10 @@ kernels (one threadblock per chunk, ``doc/algorithms_overview.md:50-52``):
   encoders (4096-entry SMEM table, scalar scan, composed-store emission).
 - :mod:`.snappy_decode` — Snappy decoder (same shape as the LZ4 kernel).
 - :mod:`.deflate_decode` — RFC-1951 decoder (two-level canonical Huffman
-  tables built per block in SMEM, stateless bit peeks, VPU copies).
+  tables built per block in SMEM, stateless bit peeks, VPU copies); gzip
+  rides it as a hybrid (XLA header parse + kernel + XLA CRC32 verify).
+- :mod:`.gdeflate_decode` — GDeflate tile decoder (32 SMEM lane bit-buffers
+  replaying the field-major DWORD refill schedule; shared Huffman tables).
 - :mod:`.ans_decode` — rANS decoder (fully vectorized: compare/one-hot table
   lookups + f32 matmul word distribution; no gathers, no scalar walk).  Its
   :func:`~tpucomp.ops.pallas.ans_decode.decode_block` is the device-side API
@@ -61,6 +64,14 @@ def _deflate_decompress_batch(comp, comp_sizes, out_cap):
                                            interpret=interpret)
 
 
+def _gdeflate_decompress_batch(comp, comp_sizes, out_cap):
+    import jax
+    from tpucomp.ops.pallas import gdeflate_decode
+    interpret = jax.default_backend() != "tpu"
+    return gdeflate_decode.decompress_batch(comp, comp_sizes, out_cap,
+                                            interpret=interpret)
+
+
 def _gzip_decompress_batch(comp, comp_sizes, out_cap):
     """Hybrid gzip path: vectorized XLA header parse + Pallas deflate kernel
     at the member offset + log-depth XLA CRC32/ISIZE trailer verification
@@ -102,6 +113,7 @@ PALLAS_DECODERS = {
     "snappy": _snappy_decompress_batch,
     "ans": _ans_decompress_batch,
     "deflate": _deflate_decompress_batch,
+    "gdeflate": _gdeflate_decompress_batch,
     "gzip": _gzip_decompress_batch,
 }
 
