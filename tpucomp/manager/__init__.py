@@ -273,7 +273,8 @@ def _compress_to_frame(spec, fmt: str, opts, cb: ChunkBatch, chunk_size: int,
     from tpucomp.formats import crc32 as c32
 
     n = cb.num_chunks
-    comp, csz, cst = spec.compress_batch(cb.data, cb.sizes, opts, chunk_cap)
+    encode = _batched._encode_fn(fmt, spec, "auto")  # Pallas kernels on TPU
+    comp, csz, cst = encode(cb.data, cb.sizes, opts, chunk_cap)
 
     store_crc = policy.computes
     if store_crc:
