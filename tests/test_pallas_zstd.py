@@ -1,0 +1,123 @@
+"""Pallas Zstandard decoder vs python-zstandard and the XLA path.
+
+Interpreter mode on CPU (hermetic); the same kernel compiles for real on the
+TPU backend (``bench.py --codec zstd --backend pallas``)."""
+import numpy as np
+import pytest
+
+from tpucomp.chunk import ChunkBatch
+from tpucomp.constants import Status
+from tpucomp.formats import zstd as fzstd
+from tpucomp.interop import cpu as interop
+from tpucomp.ops.pallas import zstd_decode
+from tpucomp.utils import synth
+
+HAVE = interop.available().get("zstd", False)
+
+
+def _decode(chunks: list[bytes], out_cap: int):
+    cb = ChunkBatch.from_chunks(chunks)
+    out, osz, stat = zstd_decode.decompress_batch(
+        cb.data, cb.sizes, out_cap, interpret=True)
+    return np.asarray(out), np.asarray(osz), np.asarray(stat)
+
+
+def _raws():
+    rng = np.random.default_rng(7)
+    return [
+        b"hello zstd, hello zstd, hello zstd! " * 30,
+        bytes(rng.integers(0, 4, 3000, dtype=np.uint8)),   # FSE-heavy
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),  # raw blocks
+        b"\x00" * 3000,                                    # RLE block
+        b"ab" * 1200,
+        synth.mixed_corpus(8000, seed=3).tobytes(),
+        b"x",
+        b"",
+    ]
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+def test_zstandard_frames_bit_exact(level):
+    raws = _raws()
+    comp = [interop.zstd_compress(r, level=level) for r in raws]
+    out, osz, stat = _decode(comp, 8192)
+    for i, r in enumerate(raws):
+        assert stat[i] == Status.SUCCESS, (level, i, stat[i])
+        assert osz[i] == len(r), (level, i, osz[i], len(r))
+        assert out[i, :len(r)].tobytes() == r, (level, i)
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_multiblock_64k_chunks():
+    """> 1 block per frame (zstd block cap 128 KiB; use a big window corpus),
+    plus treeless-literal repeats across blocks at high levels."""
+    buf = synth.mixed_corpus(300_000, seed=11).tobytes()
+    comp = interop.zstd_compress(buf, level=6)
+    out, osz, stat = _decode([comp], 1 << 19)
+    assert stat[0] == Status.SUCCESS
+    assert osz[0] == len(buf)
+    assert out[0, :len(buf)].tobytes() == buf
+
+
+def test_own_encoder_round_trip():
+    buf = synth.mixed_corpus(60_000, seed=5).tobytes()
+    cb = ChunkBatch.from_bytes(buf, chunk_size=8192)
+    cout, csz, cstat = fzstd.compress_batch(
+        cb.data, cb.sizes, fzstd.DEFAULT_OPTS,
+        fzstd.max_compressed_chunk_size(cb.max_chunk_bytes))
+    assert (np.asarray(cstat) == 0).all()
+    cout, csz = np.asarray(cout), np.asarray(csz)
+    comp = [cout[i, :csz[i]].tobytes() for i in range(cb.num_chunks)]
+    out, osz, stat = _decode(comp, 8192)
+    sizes = np.asarray(cb.sizes)
+    for i in range(cb.num_chunks):
+        assert stat[i] == Status.SUCCESS, (i, stat[i])
+        assert osz[i] == sizes[i]
+    assert out.reshape(-1)[:len(buf)].tobytes() == buf
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_matches_xla_path_on_valid_frames():
+    rng = np.random.default_rng(3)
+    raws = [bytes(rng.integers(0, k, 2000, dtype=np.uint8)) for k in (2, 8, 256)]
+    comp = [interop.zstd_compress(r, level=5) for r in raws]
+    cb = ChunkBatch.from_chunks(comp)
+    p = list(map(np.asarray, zstd_decode.decompress_batch(
+        cb.data, cb.sizes, 2048, interpret=True)))
+    x = list(map(np.asarray, fzstd.decompress_batch(cb.data, cb.sizes, 2048)))
+    assert (p[2] == x[2]).all(), (p[2], x[2])
+    assert (p[1] == x[1]).all()
+    assert (p[0] == x[0]).all()
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_corrupt_inputs_error_not_crash():
+    rng = np.random.default_rng(9)
+    good = interop.zstd_compress(b"corrupt me " * 50, level=3)
+    bad_magic = b"\x00" + good[1:]
+    truncated = good[:12]
+    flipped = bytearray(good)
+    flipped[len(flipped) // 2] ^= 0xFF
+    bad = [
+        bad_magic,
+        truncated,
+        bytes(flipped),
+        bytes(rng.integers(0, 256, 96, dtype=np.uint8)),
+        b"",
+    ]
+    out, osz, stat = _decode(bad, 4096)
+    for i in range(len(bad)):
+        if stat[i] != Status.SUCCESS:
+            assert osz[i] == 0
+    assert stat[0] == Status.ERROR_CANNOT_DECOMPRESS
+    assert stat[1] == Status.ERROR_CANNOT_DECOMPRESS
+    assert stat[4] == Status.ERROR_CANNOT_DECOMPRESS
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_output_buffer_too_small():
+    comp = interop.zstd_compress(b"tpucomp " * 600)
+    out, osz, stat = _decode([comp], 1024)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0

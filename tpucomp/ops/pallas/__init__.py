@@ -15,6 +15,9 @@ kernels (one threadblock per chunk, ``doc/algorithms_overview.md:50-52``):
   rides it as a hybrid (XLA header parse + kernel + XLA CRC32 verify).
 - :mod:`.gdeflate_decode` — GDeflate tile decoder (32 SMEM lane bit-buffers
   replaying the field-major DWORD refill schedule; shared Huffman tables).
+- :mod:`.zstd_decode` — RFC 8878 frame decoder (FSE tables, normalized-count
+  parser, Huffman weights incl. FSE-compressed, 1/4-stream backward literal
+  streams, 3-state interleaved sequence decode with repeat offsets).
 - :mod:`.ans_decode` — rANS decoder (fully vectorized: compare/one-hot table
   lookups + f32 matmul word distribution; no gathers, no scalar walk).  Its
   :func:`~tpucomp.ops.pallas.ans_decode.decode_block` is the device-side API
@@ -72,6 +75,19 @@ def _gdeflate_decompress_batch(comp, comp_sizes, out_cap):
                                             interpret=interpret)
 
 
+def _zstd_decompress_batch(comp, comp_sizes, out_cap):
+    import jax
+    from tpucomp.ops.pallas import zstd_decode
+    if out_cap > (1 << 19):
+        # the kernel's VMEM output block tops out around 512 KiB/chunk; the
+        # 16 MB-chunk regime falls back to the XLA program
+        from tpucomp.formats import zstd as fzstd
+        return fzstd.decompress_batch(comp, comp_sizes, out_cap)
+    interpret = jax.default_backend() != "tpu"
+    return zstd_decode.decompress_batch(comp, comp_sizes, out_cap,
+                                        interpret=interpret)
+
+
 def _gzip_decompress_batch(comp, comp_sizes, out_cap):
     """Hybrid gzip path: vectorized XLA header parse + Pallas deflate kernel
     at the member offset + log-depth XLA CRC32/ISIZE trailer verification
@@ -115,6 +131,7 @@ PALLAS_DECODERS = {
     "deflate": _deflate_decompress_batch,
     "gdeflate": _gdeflate_decompress_batch,
     "gzip": _gzip_decompress_batch,
+    "zstd": _zstd_decompress_batch,
 }
 
 def _snappy_compress_batch(data, sizes, opts, out_cap):

@@ -235,7 +235,10 @@ def _kernel(out_cap: int, w_words: int,
 
             @pl.when(take)
             def _():
-                dw = words_ref[0, 0, sw + sp]
+                # clamp: corrupt lane counts can push sp far past the stream
+                # before the end-of-tile bound check flags the error
+                dw = words_ref[0, 0, jnp.minimum(sw + sp,
+                                                 jnp.int32(w_words - 1))]
                 nb = nb_ref[j]
                 lo_ref[j] = lo_ref[j] | jax.lax.shift_left(dw, nb)
                 hi_ref[j] = hi_ref[j] | jax.lax.shift_right_logical(
