@@ -1404,9 +1404,27 @@ def _encode_block_body(data: jax.Array, size: jax.Array):
 
     # ---- matches + greedy parse (shared machinery) --------------------------------
     mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8),
-                                    ext_words=64)
+                                    ext_words=64, n_cands=8, probe_words=6)
     p = jnp.arange(cap, dtype=jnp.int32)
-    has_match = mlen >= 4
+
+    # entropy-aware match economics: on low-alphabet *random* data a short
+    # match's coded cost (offset extra bits + code fields) exceeds the
+    # Huffman cost of emitting its bytes as literals — zstd's own parser
+    # prices this; approximate with the byte-histogram entropy (floored at
+    # 1 bit/byte, the Huffman floor, so RLE-ish data keeps its matches)
+    histb = jnp.zeros((256,), jnp.float32).at[data.astype(jnp.int32)].add(
+        (p < size).astype(jnp.float32))
+    pr = histb / jnp.maximum(size, 1).astype(jnp.float32)
+    hbits = -jnp.sum(jnp.where(pr > 0, pr * jnp.log2(jnp.maximum(pr, 1e-9)),
+                               0.0))
+    hbits = jnp.maximum(hbits, 1.0)
+    ofb = jnp.zeros((cap,), jnp.int32)
+    for k in range(1, 18):
+        ofb = jnp.where(((moff + 3) >> k) > 0, k, ofb)
+    economic = mlen.astype(jnp.float32) * hbits >= (ofb + 12).astype(
+        jnp.float32)
+
+    has_match = jnp.logical_and(mlen >= 4, economic)
     nxt = jnp.where(has_match, p + mlen, p + 1)
     nxt = jnp.where(p < size, nxt, cap)
     reach, _ = plz.wyllie_path(nxt, jnp.zeros((cap,), jnp.int32),
@@ -1427,6 +1445,29 @@ def _encode_block_body(data: jax.Array, size: jax.Array):
                          + t_ml[jnp.clip(ti - 1, 0, cap_tok - 1)])
     t_ll = jnp.where(t_valid, t_pos - prev_end, 0)
     t_ml = jnp.where(t_valid, t_ml, 0)
+
+    # merge same-offset ll==0 chains: the match finder's extension cap splits
+    # very long matches into back-to-back tokens, and RFC 8878 has no
+    # "repeat rep0 with zero literals" code (such chains ARE one match) —
+    # one merged match saves the whole offset/code fields per link
+    prev_off_m = jnp.concatenate([jnp.zeros((1,), jnp.int32), t_off[:-1]])
+    chain = jnp.logical_and(
+        t_valid, jnp.logical_and(ti > 0, jnp.logical_and(
+            t_ll == 0, t_off == prev_off_m)))
+    head = jnp.logical_not(chain)
+    gid = jnp.cumsum(head.astype(jnp.int32)) - 1
+    ml_sum = jnp.zeros((cap_tok,), jnp.int32).at[
+        jnp.clip(gid, 0, cap_tok - 1)].add(t_ml)
+    vhead = jnp.logical_and(head, t_valid)
+    nseq = jnp.sum(vhead.astype(jnp.int32))
+    hsel = jnp.clip(jnp.sort(jnp.where(vhead, ti, jnp.int32(2**30)))[:cap_tok],
+                    0, cap_tok - 1)
+    t_pos = t_pos[hsel]
+    t_ll = t_ll[hsel]
+    t_off = t_off[hsel]
+    t_valid = ti < nseq
+    t_ml = jnp.where(t_valid, ml_sum, 0)
+    t_ll = jnp.where(t_valid, t_ll, 0)
 
     # ---- literal bytes (in order) ---------------------------------------------------
     is_lit = jnp.logical_and(reach, jnp.logical_not(has_match))
