@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""One-shot TPU validation + throughput report for every Pallas kernel.
+
+For each format with a Pallas decoder: stage compressed inputs with the
+strongest available oracle (CPU interop library, else the XLA encoder on the
+CPU backend), decode on the device through ``batched.decompress(
+backend="pallas")``, verify bit-exactness on-device, and report
+readback-terminated GB/s (the honest protocol from bench.py: K chained
+data-dependent iterations inside one compiled program, timer stopped by a
+checksum readback).  Encoders likewise (verified by the CPU oracle).
+
+Usage:  python benchmarks/pallas_kernel_report.py [--mb 4] [--chunk-kb 64]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mb", type=int, default=4)
+    ap.add_argument("--chunk-kb", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--formats", nargs="*", default=None)
+    ap.add_argument("--skip-encode", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpucomp import batched
+    from tpucomp.chunk import ChunkBatch
+    from tpucomp.interop import cpu as interop
+    from tpucomp.ops import pallas as pk
+    from tpucomp.utils import synth
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+    chunk = args.chunk_kb * 1024
+    corpus = synth.mixed_corpus(args.mb << 20, seed=42).tobytes()
+    chunks = [corpus[o:o + chunk] for o in range(0, len(corpus), chunk)]
+    if chunks and len(chunks[-1]) != chunk:
+        chunks = chunks[:-1]
+    total = sum(map(len, chunks))
+    log(f"corpus: {len(chunks)} chunks x {args.chunk_kb} KiB")
+
+    avail = interop.available()
+
+    def stage(fmt):
+        """Host-side compressed chunks via the best oracle."""
+        if fmt == "lz4" and avail.get("lz4"):
+            return [interop.lz4_compress(c) for c in chunks], "liblz4"
+        if fmt == "snappy" and avail.get("snappy"):
+            return [interop.snappy_compress(c) for c in chunks], "libsnappy"
+        if fmt == "deflate":
+            return [interop.deflate_compress(c, 9) for c in chunks], "zlib-9"
+        if fmt == "gzip":
+            return [interop.gzip_compress(c) for c in chunks], "zlib-gzip"
+        if fmt == "zstd" and avail.get("zstd"):
+            return [interop.zstd_compress(c, 6) for c in chunks], "zstd-6"
+        # self-staged on the CPU backend (gdeflate, ans)
+        spec = batched._get(fmt)
+        cpu0 = jax.devices("cpu")[0]
+        cb = ChunkBatch.from_chunks(chunks)
+        cap = spec.max_compressed_chunk_size(chunk, spec.default_opts)
+        enc = jax.jit(lambda d, s: spec.compress_batch(
+            d, s, spec.default_opts, cap), device=cpu0)
+        co, cs, st = map(np.asarray, enc(cb.data, cb.sizes))
+        assert (st == 0).all(), (fmt, st)
+        return [co[i, :cs[i]].tobytes() for i in range(len(chunks))], \
+            "own-encoder(CPU)"
+
+    results = []
+    fmts = args.formats or sorted(pk.PALLAS_DECODERS)
+    for fmt in fmts:
+        try:
+            comp, oracle = stage(fmt)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            log(f"[{fmt}] staging failed: {e}")
+            continue
+        cb = ChunkBatch.from_chunks(comp)
+        dec_fn = pk.PALLAS_DECODERS[fmt]
+        orig = ChunkBatch.from_chunks(chunks)
+
+        @jax.jit
+        def dec_loop(c, z, k, dec_fn=dec_fn):
+            def body(i, carry):
+                z2, acc = carry
+                out, osz, st = dec_fn(c, z2, chunk)
+                sm = (jnp.sum(out.astype(jnp.int32)) + jnp.sum(osz)
+                      + jnp.sum(st)).astype(jnp.int32)
+                return (z2 + sm * 0).astype(jnp.int32), acc + sm
+            return jax.lax.fori_loop(0, k, body, (z, jnp.int32(0)))[1]
+
+        t0 = time.time()
+        chk = int(dec_loop(cb.data, cb.sizes, jnp.int32(1)))
+        compile_s = time.time() - t0
+        out, osz, st = dec_fn(cb.data, cb.sizes, chunk)
+        out, osz, st = map(np.asarray, (out, osz, st))
+        ok = bool((st == 0).all()) and bool(
+            (osz == np.asarray(orig.sizes)).all()) and bool(
+            (out == np.asarray(orig.data)).all())
+        kn = max(args.iters, 4)
+        t0 = time.time()
+        chk2 = int(dec_loop(cb.data, cb.sizes, jnp.int32(kn)))
+        dt = time.time() - t0
+        gbs = kn * total / dt / 1e9
+        results.append((fmt, "decode", oracle, ok, gbs, compile_s))
+        log(f"[{fmt}] decode {'BIT-EXACT' if ok else 'MISMATCH!'} "
+            f"{gbs:.3f} GB/s (compile {compile_s:.0f}s, chk {chk}/{chk2})")
+
+    if not args.skip_encode:
+        for fmt in sorted(pk.PALLAS_ENCODERS):
+            if args.formats and fmt not in args.formats:
+                continue
+            enc_fn = pk.PALLAS_ENCODERS[fmt]
+            spec = batched._get(fmt)
+            cap = spec.max_compressed_chunk_size(chunk, spec.default_opts)
+            cb = ChunkBatch.from_chunks(chunks)
+
+            @jax.jit
+            def enc_j(d, s, enc_fn=enc_fn, cap=cap):
+                return enc_fn(d, s, None, cap)
+
+            t0 = time.time()
+            co, cs, st = enc_j(cb.data, cb.sizes)
+            jax.block_until_ready(co)
+            compile_s = time.time() - t0
+            co, cs, st = map(np.asarray, (co, cs, st))
+            ok = bool((st == 0).all())
+            dec_oracle = {"lz4": interop.lz4_decompress,
+                          "snappy": lambda b, n=None: interop.snappy_decompress(b)}[fmt]
+            for i, c in enumerate(chunks):
+                blob = co[i, :int(cs[i])].tobytes()
+                got = dec_oracle(blob, len(c)) if fmt == "lz4" \
+                    else dec_oracle(blob)
+                ok = ok and got == c
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                o = enc_j(cb.data, cb.sizes)
+                jax.block_until_ready(o[0])
+                ts.append(time.time() - t0)
+            gbs = total / sorted(ts)[1] / 1e9
+            results.append((fmt, "encode", "cpu-oracle", ok, gbs, compile_s))
+            log(f"[{fmt}] encode {'BIT-EXACT' if ok else 'MISMATCH!'} "
+                f"{gbs:.3f} GB/s (compile {compile_s:.0f}s, "
+                f"ratio {total / cs.sum():.2f})")
+
+    print(f"{'format':9s} {'dir':6s} {'oracle':16s} {'exact':5s} "
+          f"{'GB/s':>8s} {'compile_s':>9s}")
+    for fmt, d, oracle, ok, gbs, cs_ in results:
+        print(f"{fmt:9s} {d:6s} {oracle:16s} {str(ok):5s} {gbs:8.3f} "
+              f"{cs_:9.0f}")
+    bad = [r for r in results if not r[3]]
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
