@@ -93,3 +93,46 @@ def test_truncated_stream_rejected():
     out, osz, stat = _decode(cout, short, 4096)
     assert stat[0] == Status.ERROR_CANNOT_DECOMPRESS
     assert osz[0] == 0
+
+
+# ---------------------------------------------------------------- encoder ---
+
+def test_encode_byte_identical_to_xla_and_round_trips():
+    """The Pallas state walk + shared serializer must emit the exact XLA
+    container; decoded by both the XLA and Pallas decoders."""
+    from tpucomp.ops.pallas import ans_encode
+
+    rng = np.random.default_rng(31)
+    raws = [
+        synth.mixed_corpus(20_000, seed=4).tobytes(),
+        bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),
+        b"\x00" * 3000,          # single-symbol: f == PROB_SCALE, never emits
+        b"x",
+        b"",
+    ]
+    cb = ChunkBatch.from_chunks(raws)
+    cap = fans.max_compressed_chunk_size(cb.max_chunk_bytes, fans.DEFAULT_OPTS)
+    po, ps, pst = map(np.asarray, ans_encode.compress_batch(
+        cb.data, cb.sizes, cap, interpret=True))
+    xo, xs, xst = map(np.asarray, fans.compress_batch(
+        cb.data, cb.sizes, fans.DEFAULT_OPTS, cap))
+    assert (pst == xst).all()
+    assert (ps == xs).all()
+    assert (po == xo).all()
+    dec, dsz, dst = map(np.asarray, ans_decode.decompress_batch(
+        po, ps, cb.max_chunk_bytes, interpret=True))
+    for i, r in enumerate(raws):
+        assert dst[i] == Status.SUCCESS, (i, dst[i])
+        assert dec[i, :len(r)].tobytes() == r, i
+
+
+def test_encode_via_batched_backend_param():
+    import tpucomp.batched as batched
+    buf = synth.mixed_corpus(16_000, seed=3).tobytes()
+    cb = ChunkBatch.from_bytes(buf, chunk_size=4096)
+    comp, stat = batched.compress("ans", cb, backend="pallas")
+    assert (np.asarray(stat) == Status.SUCCESS).all()
+    dec, dstat = batched.decompress("ans", comp, 4096, backend="xla")
+    assert (np.asarray(dstat) == Status.SUCCESS).all()
+    assert np.asarray(dec.data).reshape(-1)[:len(buf)].tobytes() == buf

@@ -106,6 +106,17 @@ def quantize_freqs(counts: jax.Array, size: jax.Array) -> jax.Array:
 # encode
 # =====================================================================================
 
+def tables_for(data: jax.Array, size: jax.Array):
+    """Quantized (freq, cum) int32[256] tables for one chunk (vmappable)."""
+    cap = data.shape[0]
+    counts = jnp.zeros((256,), jnp.int32).at[data.astype(jnp.int32)].add(
+        (jnp.arange(cap) < size).astype(jnp.int32))
+    freq = quantize_freqs(counts, size.astype(jnp.int32))
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(freq)[:-1].astype(jnp.int32)])
+    return freq, cum
+
+
 def encode_chunk(data: jax.Array, size: jax.Array, opts: ANSOpts,
                  out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Encode one chunk -> (out uint8[out_cap], out_size, status)."""
@@ -113,11 +124,7 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ANSOpts,
     size = size.astype(jnp.int32)
     T = -(-cap // N_LANES)  # steps per lane (static)
 
-    counts = jnp.zeros((256,), jnp.int32).at[data.astype(jnp.int32)].add(
-        (jnp.arange(cap) < size).astype(jnp.int32))
-    freq = quantize_freqs(counts, size)
-    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                           jnp.cumsum(freq)[:-1].astype(jnp.int32)])
+    freq, cum = tables_for(data, size)
 
     freq_u = freq.astype(jnp.uint32)
     cum_u = cum.astype(jnp.uint32)
@@ -165,13 +172,25 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: ANSOpts,
     # ascending position order == descending t of the reversed scan == flip.
     words_dec = words_rev[::-1]      # [T, N_LANES] in decode order
     emits_dec = emits_rev[::-1]
+    return serialize_scan(size, freq, x_fin, wcount, words_dec, emits_dec,
+                          out_cap)
 
+
+def serialize_scan(size, freq, x_fin, wcount, words_dec, emits_dec,
+                   out_cap: int):
+    """Compact + serialize a state-walk's outputs into the v2 container.
+
+    Shared by the XLA scan encoder above and the Pallas encode kernel
+    (:mod:`tpucomp.ops.pallas.ans_encode`): ``words_dec``/``emits_dec`` are
+    ``[T, N_LANES]`` in decode order (forward position steps)."""
+    T = words_dec.shape[0]
     # shared-stream compaction in decode order (step-major, lane-minor): the
     # row-major flattening of [T, N_LANES] IS the order the decoder's shared
     # cursor consumes words in (rank-among-needing-lanes = ascending lane)
-    emits_flat = emits_dec.reshape(-1)
-    words_flat = words_dec.reshape(-1)
-    lane_words = jnp.sum(emits_dec.astype(jnp.int32), axis=0)  # validation
+    emits_flat = (emits_dec != 0).reshape(-1)
+    words_flat = words_dec.astype(jnp.uint32).reshape(-1)
+    lane_words = jnp.sum(emits_flat.reshape(T, N_LANES).astype(jnp.int32),
+                         axis=0)
     total_words = jnp.sum(lane_words)
     # scatter-free stream compaction: sort (slot<<16 | word) packed keys
     pos_in_stream = jnp.cumsum(emits_flat.astype(jnp.int32)) - 1

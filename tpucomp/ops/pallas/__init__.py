@@ -20,9 +20,12 @@ kernels (one threadblock per chunk, ``doc/algorithms_overview.md:50-52``):
   streams, 3-state interleaved sequence decode with repeat offsets).
 - :mod:`.ans_decode` — rANS decoder (fully vectorized: compare/one-hot table
   lookups + f32 matmul word distribution; no gathers, no scalar walk).  Its
-  :func:`~tpucomp.ops.pallas.ans_decode.decode_block` is the device-side API
-  analog (``README.md:17``): a rANS decode block callable from ANY Pallas
-  kernel.
+  :func:`~tpucomp.ops.pallas.ans_decode.decode_block` and
+  :mod:`.ans_encode`'s :func:`~tpucomp.ops.pallas.ans_encode.encode_block`
+  are the device-side API analog (``README.md:17``): rANS encode/decode
+  blocks callable from ANY Pallas kernel (the encoder's u32-by-frequency
+  division runs as an exact three-limb f32 long division — no integer
+  divide).
 
 ``PALLAS_DECODERS`` maps format name -> drop-in replacement for the
 registry's ``decompress_batch`` (same signature/semantics); ``bench.py
@@ -142,7 +145,16 @@ def _snappy_compress_batch(data, sizes, opts, out_cap):
                                         interpret=interpret)
 
 
+def _ans_compress_batch(data, sizes, opts, out_cap):
+    import jax
+    from tpucomp.ops.pallas import ans_encode
+    interpret = jax.default_backend() != "tpu"
+    return ans_encode.compress_batch(data, sizes, out_cap,
+                                     interpret=interpret)
+
+
 PALLAS_ENCODERS = {
     "lz4": _lz4_compress_batch,
     "snappy": _snappy_compress_batch,
+    "ans": _ans_compress_batch,
 }
