@@ -329,12 +329,17 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: GdeflateOpts,
 # decode
 # =====================================================================================
 
-def decode_chunk(comp: jax.Array, comp_size: jax.Array,
-                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+def tile_tables(comp: jax.Array, comp_size: jax.Array):
+    """Header + canonical decode tables for one tile (vmappable).
+
+    Shared by the XLA decoder below and the vectorized Pallas parse kernel
+    (:mod:`tpucomp.ops.pallas.gdeflate_vdecode`): returns
+    ``(btype, n_tokens, raw_size, D, (lcount, lfirst, loffset, lsor),
+    (dcount, dfirst, doffset, dsor), dw_start, tbl_ok)``.
+    """
     cap = comp.shape[0]
     pad_to = max(cap, PAYLOAD + DESC_CAP + 4)
     cp = jnp.pad(comp, (0, pad_to - cap)).astype(jnp.int32)
-    gb = lambda o: cp[jnp.clip(o, 0, pad_to - 1)]
 
     btype = cp[0]
     n_tokens = cp[2] | (cp[3] << 8) | (cp[4] << 16) | (cp[5] << 24)
@@ -397,6 +402,27 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
 
     hdr_pad = jnp.where(is_dyn, (hdr_bytes + 3) & ~3, 0)
     dw_start = PAYLOAD + hdr_pad
+
+    tbl_ok = jnp.logical_and(jnp.where(is_dyn, cl_valid, True),
+                             jnp.logical_and(lvalid, dvalid))
+    tbl_ok = jnp.logical_and(
+        tbl_ok, jnp.where(is_dyn, jnp.logical_not(cl_err), True))
+    return (btype, n_tokens, raw_size, D,
+            (lcount, lfirst, loffset, lsor),
+            (dcount, dfirst, doffset, dsor), dw_start, tbl_ok)
+
+
+def decode_chunk(comp: jax.Array, comp_size: jax.Array,
+                 out_cap: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    cap = comp.shape[0]
+    pad_to = max(cap, PAYLOAD + DESC_CAP + 4)
+    cp = jnp.pad(comp, (0, pad_to - cap)).astype(jnp.int32)
+    gb = lambda o: cp[jnp.clip(o, 0, pad_to - 1)]
+
+    (btype, n_tokens, raw_size, D,
+     (lcount, lfirst, loffset, lsor),
+     (dcount, dfirst, doffset, dsor), dw_start, tbl_ok) = tile_tables(
+        comp, comp_size)
 
     def read_dw(k):
         o = dw_start + 4 * k
@@ -503,8 +529,7 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
     ok = jnp.logical_and(ok, total_out == raw_size)
     ok = jnp.logical_and(ok, raw_size <= out_cap)
     ok = jnp.logical_and(ok, n_tokens <= out_cap)
-    ok = jnp.logical_and(ok, jnp.where(is_dyn, cl_valid, True))
-    ok = jnp.logical_and(ok, jnp.logical_and(lvalid, dvalid))
+    ok = jnp.logical_and(ok, tbl_ok)
     # every advertised lane word must have been consumed, and all of them
     # must lie inside the chunk
     ok = jnp.logical_and(ok, jnp.all(taken_f == D))

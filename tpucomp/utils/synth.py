@@ -100,3 +100,22 @@ def mixed_corpus(total_size: int, seed: int = 0) -> np.ndarray:
         gen_data(15, total_size - 4 * part, seed=seed + 4),
     ]
     return np.concatenate(pieces)
+
+
+def mortgage_like(size_bytes: int, seed: int = 0) -> np.ndarray:
+    """Synthetic analog of the reference's headline dataset
+    (mortgage-2009Q2 col0-long, ``doc/Benchmarks.md:80-95``): an int64
+    column of loan-balance-like values — long runs of repeated values from a
+    slowly drifting base.  Tuned so liblz4 lands at the reference dataset's
+    compression ratio neighborhood (~39:1)."""
+    rng = np.random.default_rng(seed)
+    n = size_bytes // 8
+    # geometric-ish run lengths (mean ~46 values = ~370 bytes/run)
+    n_runs = max(1, n // 46)
+    runs_len = rng.geometric(1.0 / 46, size=2 * n_runs)
+    vals = 150_000_00 + np.cumsum(rng.integers(-2000, 2000, size=2 * n_runs,
+                                               dtype=np.int64))
+    col = np.repeat(vals, runs_len)[:n]
+    if col.size < n:
+        col = np.pad(col, (0, n - col.size), mode="edge")
+    return col.astype(np.int64).view(np.uint8)
