@@ -123,3 +123,81 @@ def test_stored_tiles():
     assert stat[0] == Status.SUCCESS
     assert osz[0] == len(raw)
     assert out[0, :len(raw)].tobytes() == raw
+
+
+# ------------------------------------------------------ vectorized decoder ---
+
+from tpucomp.ops.pallas import gdeflate_vdecode
+
+
+def _vdecode(tiles: list[bytes], out_cap: int):
+    cb = ChunkBatch.from_chunks(tiles)
+    out, osz, stat = gdeflate_vdecode.decompress_batch(
+        cb.data, cb.sizes, out_cap, interpret=True)
+    return np.asarray(out), np.asarray(osz), np.asarray(stat)
+
+
+@pytest.mark.parametrize("btype", [0, 1, 2])
+def test_vdecode_pyref_tiles_bit_exact(btype):
+    raws = _raws()
+    tiles = [pyref.compress(r, btype=btype) for r in raws]
+    out, osz, stat = _vdecode(tiles, 4096)
+    for i, r in enumerate(raws):
+        assert stat[i] == Status.SUCCESS, (btype, i, stat[i])
+        assert osz[i] == len(r), (btype, i, osz[i], len(r))
+        assert out[i, :len(r)].tobytes() == r, (btype, i)
+
+
+def test_vdecode_own_encoder_all_algos():
+    buf = synth.mixed_corpus(24_000, seed=5).tobytes()
+    cb = ChunkBatch.from_bytes(buf, chunk_size=4096)
+    for algo in (0, 1, 2):
+        opts = fgdef.GdeflateOpts(algo=algo)
+        cout, csz, cstat = fgdef.compress_batch(
+            cb.data, cb.sizes, opts,
+            fgdef.max_compressed_chunk_size(cb.max_chunk_bytes, opts))
+        assert (np.asarray(cstat) == 0).all()
+        cout, csz = np.asarray(cout), np.asarray(csz)
+        tiles = [cout[i, :csz[i]].tobytes() for i in range(cb.num_chunks)]
+        out, osz, stat = _vdecode(tiles, 4096)
+        assert (stat == Status.SUCCESS).all(), (algo, stat)
+        assert out.reshape(-1)[:len(buf)].tobytes() == buf, algo
+
+
+def test_vdecode_matches_serial_and_xla_statuses():
+    rng = np.random.default_rng(9)
+    good = pyref.compress(b"corrupt me " * 50, btype=2)
+    bad_ntok = bytearray(good)
+    bad_ntok[2:6] = (1 << 24).to_bytes(4, "little")
+    tiles = [
+        good,
+        b"\x03" + b"\x00" * 16,          # btype=3
+        good[:24],                        # truncated
+        bytes(bad_ntok),
+        bytes(rng.integers(0, 256, 96, dtype=np.uint8)),
+        b"",
+    ]
+    cb = ChunkBatch.from_chunks(tiles)
+    v = list(map(np.asarray, gdeflate_vdecode.decompress_batch(
+        cb.data, cb.sizes, 2048, interpret=True)))
+    x = list(map(np.asarray, fgdef.decompress_batch(cb.data, cb.sizes, 2048)))
+    assert (v[2] == x[2]).all(), (v[2], x[2])
+    assert (v[1] == x[1]).all()
+    assert (v[0] == x[0]).all()
+
+
+def test_vdecode_output_buffer_too_small():
+    tile = pyref.compress(b"tpucomp " * 600, btype=1)
+    out, osz, stat = _vdecode([tile], 1024)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0
+
+
+def test_vdecode_long_distance_64k_window():
+    rng = np.random.default_rng(3)
+    seg = bytes(rng.integers(0, 256, 40_000, dtype=np.uint8))
+    raw = seg + b"\x00" * 12_000 + seg[:12_000]
+    tile = pyref.compress(raw, btype=2)
+    out, osz, stat = _vdecode([tile], 65536)
+    assert stat[0] == Status.SUCCESS
+    assert out[0, :len(raw)].tobytes() == raw

@@ -72,10 +72,13 @@ def _deflate_decompress_batch(comp, comp_sizes, out_cap):
 
 def _gdeflate_decompress_batch(comp, comp_sizes, out_cap):
     import jax
-    from tpucomp.ops.pallas import gdeflate_decode
+    # the vectorized parse + slab executor is the product path (the SIMD
+    # shape the tile format was designed for); the serial replay kernel in
+    # gdeflate_decode remains as the reference implementation
+    from tpucomp.ops.pallas import gdeflate_vdecode
     interpret = jax.default_backend() != "tpu"
-    return gdeflate_decode.decompress_batch(comp, comp_sizes, out_cap,
-                                            interpret=interpret)
+    return gdeflate_vdecode.decompress_batch(comp, comp_sizes, out_cap,
+                                             interpret=interpret)
 
 
 def _zstd_decompress_batch(comp, comp_sizes, out_cap):
