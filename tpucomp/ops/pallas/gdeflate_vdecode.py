@@ -228,24 +228,54 @@ def _exec_kernel(out_cap: int, n_slabs: int,
 
     base = s * SLAB
     count = jnp.clip(n_tok - base, 0, SLAB)
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, bc.BLK), 1)
 
-    def body(i, carry):
-        op, err = carry
+    def wcond(st):
+        i, op, err = st
+        return i < count
+
+    def wbody(st):
+        i, op, err = st
         tok = tok_ref[0, i]
         is_m = tok >= MATCH_FLAG
 
         def lit(a):
-            op, err = a
+            i, op, err = a
+            # literal-run batching: entropy-only tiles are ALL literals, so
+            # compose four per wild store when the next three are literal too
+            t1 = tok_ref[0, jnp.minimum(i + 1, jnp.int32(SLAB - 1))]
+            t2 = tok_ref[0, jnp.minimum(i + 2, jnp.int32(SLAB - 1))]
+            t3 = tok_ref[0, jnp.minimum(i + 3, jnp.int32(SLAB - 1))]
+            four = jnp.logical_and(i + 4 <= count, op + 4 <= out_cap)
+            four = jnp.logical_and(four, t1 < MATCH_FLAG)
+            four = jnp.logical_and(four, t2 < MATCH_FLAG)
+            four = jnp.logical_and(four, t3 < MATCH_FLAG)
 
-            @pl.when(jnp.logical_and(err == 0, op < out_cap))
-            def _():
-                bc.store128_wild(
-                    out_ref, op,
-                    jnp.broadcast_to(tok, (1, bc.BLK)).astype(jnp.int32))
-            return op + 1, err
+            def lit4(a2):
+                i, op, err = a2
+                v = jnp.where(lane_i == 0, tok,
+                              jnp.where(lane_i == 1, t1,
+                                        jnp.where(lane_i == 2, t2, t3)))
+
+                @pl.when(err == 0)
+                def _():
+                    bc.store128_wild(out_ref, op, v.astype(jnp.int32))
+                return i + 4, op + 4, err
+
+            def lit1(a2):
+                i, op, err = a2
+
+                @pl.when(jnp.logical_and(err == 0, op < out_cap))
+                def _():
+                    bc.store128_wild(
+                        out_ref, op,
+                        jnp.broadcast_to(tok, (1, bc.BLK)).astype(jnp.int32))
+                return i + 1, op + 1, err
+
+            return jax.lax.cond(four, lit4, lit1, (i, op, err))
 
         def match(a):
-            op, err = a
+            i, op, err = a
             dist = tok & 0x1FFFF
             ml = (jax.lax.shift_right_logical(tok, jnp.int32(17)) & 0xFF) + 3
             err = jnp.where(jnp.logical_or(dist < 1, dist > op),
@@ -260,12 +290,12 @@ def _exec_kernel(out_cap: int, n_slabs: int,
             def _():
                 bc.copy_pattern(out_ref, op, dist, ml)
 
-            return op + ml, err
+            return i + 1, op + ml, err
 
-        return jax.lax.cond(is_m, match, lit, (op, err))
+        return jax.lax.cond(is_m, match, lit, (i, op, err))
 
-    op, err = jax.lax.fori_loop(jnp.int32(0), count, body,
-                                (st_ref[0], st_ref[1]), unroll=False)
+    _, op, err = jax.lax.while_loop(
+        wcond, wbody, (jnp.int32(0), st_ref[0], st_ref[1]))
     st_ref[0] = op
     st_ref[1] = err
 
