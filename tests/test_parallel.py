@@ -81,3 +81,18 @@ def test_all_gather_ans(mesh):
     dec, csz, status = parallel.compressed_all_gather("ans", cb, mesh)
     assert int(status) == 0
     assert dec.to_bytes() == data
+
+
+def test_sharded_roundtrip_pallas_backend(mesh):
+    """Pallas kernels under shard_map on the mesh (interpret mode on CPU) —
+    the chunk-DP scaling story exercised through the product kernel path."""
+    chunk = 2048
+    data = synth.mixed_corpus(16 * chunk, seed=13).tobytes()
+    cb = ChunkBatch.from_bytes(data, chunk_size=chunk)
+    fn = parallel.sharded_roundtrip_fn("lz4", mesh, "chunks", chunk,
+                                       backend="pallas")
+    d = jax.device_put(cb.data, NamedSharding(mesh, P("chunks", None)))
+    z = jax.device_put(cb.sizes, NamedSharding(mesh, P("chunks")))
+    dec, dsz, csz, status = fn(d, z)
+    assert int(status) == 0
+    assert np.asarray(dec).reshape(-1)[:len(data)].tobytes() == data

@@ -88,17 +88,23 @@ def compressed_all_gather(fmt: str, batch: ChunkBatch, mesh: Mesh,
 
 
 def sharded_roundtrip_fn(fmt: str, mesh: Mesh, axis_name: str,
-                         max_chunk_bytes: int, opts: Any = None):
+                         max_chunk_bytes: int, opts: Any = None,
+                         backend: str = "xla"):
     """Pure chunk-data-parallel compress+decompress (no collective): each device
     round-trips its own shard.  The multi-device analog of the single-chip hot
-    path, used for scaling-efficiency measurements."""
+    path, used for scaling-efficiency measurements.  ``backend`` selects the
+    kernel path per shard ("auto" = Pallas kernels on TPU meshes)."""
+    from tpucomp import batched as _batched
     spec = _codec(fmt)
     opts = opts if opts is not None else spec.default_opts
     cap = spec.max_compressed_chunk_size(max_chunk_bytes, opts)
+    enc = _batched._encode_fn(fmt, spec, backend) if backend != "xla" \
+        else (lambda d, s, o, c: spec.compress_batch(d, s, o, c))
+    dec_f = _batched._decode_fn(fmt, spec, backend)
 
     def step(data, sizes):
-        comp, csz, cst = spec.compress_batch(data, sizes, opts, cap)
-        dec, dsz, dst = spec.decompress_batch(comp, csz, max_chunk_bytes)
+        comp, csz, cst = enc(data, sizes, opts, cap)
+        dec, dsz, dst = dec_f(comp, csz, max_chunk_bytes)
         ok = jnp.maximum(jnp.max(cst), jnp.max(dst))
         return dec, dsz, csz, jax.lax.pmax(ok, axis_name)
 
