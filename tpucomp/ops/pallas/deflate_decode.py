@@ -271,30 +271,64 @@ def _kernel(out_cap: int, w_words: int,
                                  jnp.int32(TAB_DIST), ENOUGH_DIST))
 
             # ---------------- symbol loop -------------------------------
+            # literal bytes pack four-at-a-time into one int32 and flush as
+            # a single composed wild store (op counts pending bytes; matches
+            # and EOB flush first so copies read completed output)
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, bc.BLK), 1)
+
+            def flush_pend(op_next, pend, np_, e3):
+                p = op_next - np_
+                v = jnp.where(
+                    lane128 == 0, pend & 0xFF,
+                    jnp.where(lane128 == 1,
+                              jax.lax.shift_right_logical(pend, jnp.int32(8))
+                              & 0xFF,
+                              jnp.where(lane128 == 2,
+                                        jax.lax.shift_right_logical(
+                                            pend, jnp.int32(16)) & 0xFF,
+                                        jax.lax.shift_right_logical(
+                                            pend, jnp.int32(24)) & 0xFF)))
+
+                @pl.when(jnp.logical_and(np_ > 0,
+                                         jnp.logical_and(e3 == 0,
+                                                         p < out_cap)))
+                def _():
+                    bc.store128_wild(out_ref, p, v.astype(jnp.int32))
+
             def scond(s2):
-                bp2, op2, e2, eob = s2
-                return jnp.logical_and(e2 == 0, eob == 0)
+                return jnp.logical_and(s2[2] == 0, s2[3] == 0)
 
             def sbody(s2):
-                bp2, op2, e2, eob = s2
+                bp2, op2, e2, eob, pend, npend = s2
                 sym, nb, inv = read_code(bp2, jnp.int32(0), LIT_ROOT)
                 bp2 = bp2 + nb
                 e2 = jnp.logical_or(inv, bp2 > nbits_total).astype(jnp.int32)
 
                 def lit(s3):
-                    bp3, op3, e3, _ = s3
+                    bp3, op3, e3, _, pend, np_ = s3
+                    pend = pend | jax.lax.shift_left(sym, 8 * np_)
+                    np_ = np_ + 1
+                    op3 = op3 + 1
 
-                    @pl.when(jnp.logical_and(e3 == 0, op3 < out_cap))
-                    def _():
-                        wr_byte(op3, sym)
-                    return bp3, op3 + 1, e3, jnp.int32(0)
+                    def fl(a):
+                        pend, np_ = a
+                        flush_pend(op3, pend, jnp.int32(4), e3)
+                        return jnp.int32(0), jnp.int32(0)
+                    pend, np_ = jax.lax.cond(np_ == 4, fl, lambda a: a,
+                                             (pend, np_))
+                    return bp3, op3, e3, jnp.int32(0), pend, np_
 
                 def eob_f(s3):
-                    bp3, op3, e3, _ = s3
-                    return bp3, op3, e3, jnp.int32(1)
+                    bp3, op3, e3, _, pend, np_ = s3
+                    flush_pend(op3, pend, np_, e3)
+                    return bp3, op3, e3, jnp.int32(1), jnp.int32(0), \
+                        jnp.int32(0)
 
                 def match(s3):
-                    bp3, op3, e3, _ = s3
+                    bp3, op3, e3, _, pend, np_ = s3
+                    flush_pend(op3, pend, np_, e3)
+                    pend = jnp.int32(0)
+                    np_ = jnp.int32(0)
                     li = sym - 257
                     e3 = jnp.logical_or(e3 != 0, li >= 29).astype(jnp.int32)
                     lp = consts_ref[jnp.minimum(li, 28)]
@@ -326,15 +360,16 @@ def _kernel(out_cap: int, w_words: int,
                     def _():
                         bc.copy_pattern(out_ref, op3, dist, mlen)
 
-                    return bp3, op3 + mlen, e3, jnp.int32(0)
+                    return bp3, op3 + mlen, e3, jnp.int32(0), pend, np_
 
                 return jax.lax.cond(
                     sym < 256, lit,
                     lambda s3: jax.lax.cond(sym == 256, eob_f, match, s3),
-                    (bp2, op2, e2, eob))
+                    (bp2, op2, e2, eob, pend, npend))
 
-            bp, op, e2, _ = jax.lax.while_loop(
-                scond, sbody, (bp, op, err.astype(jnp.int32), jnp.int32(0)))
+            bp, op, e2, _, _, _ = jax.lax.while_loop(
+                scond, sbody, (bp, op, err.astype(jnp.int32), jnp.int32(0),
+                               jnp.int32(0), jnp.int32(0)))
             return bp, op, e2 != 0
 
         bp, op, err = jax.lax.cond(

@@ -434,16 +434,36 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
         e = jnp.logical_or(e, p != size)
         return max_bits, e
 
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, bc.BLK), 1)
+
+    def flush_lits(p, pend, np_, e):
+        """Write np_ (1..4) pending literal bytes packed in pend at lit
+        position p with ONE composed wild store."""
+        v = jnp.where(
+            lane128 == 0, pend & 0xFF,
+            jnp.where(lane128 == 1,
+                      jax.lax.shift_right_logical(pend, jnp.int32(8)) & 0xFF,
+                      jnp.where(lane128 == 2,
+                                jax.lax.shift_right_logical(
+                                    pend, jnp.int32(16)) & 0xFF,
+                                jax.lax.shift_right_logical(
+                                    pend, jnp.int32(24)) & 0xFF)))
+
+        @pl.when(jnp.logical_and(np_ > 0, jnp.logical_not(e)))
+        def _():
+            bc.store128_wild(lit_ref, p, v.astype(jnp.int32))
+
     def huf_stream(start_byte, nbytes, count, dst, max_bits):
-        """Decode one backward Huffman stream into lit_ref[dst:dst+count]."""
+        """Decode one backward Huffman stream into lit_ref[dst:dst+count]
+        (literal bytes flush four-per-store)."""
         base, left, e = bwd_init(start_byte, nbytes)
 
         def cond(s):
-            i, left, e2 = s
+            i, left, e2, pend, np_ = s
             return jnp.logical_and(jnp.logical_not(e2), i < count)
 
         def body(s):
-            i, left, e2 = s
+            i, left, e2, pend, np_ = s
             v_ok = peek_w(base + left - max_bits, max_bits)
             v_sh = jax.lax.shift_left(
                 peek_w(base, jnp.maximum(left, 0)),
@@ -452,16 +472,23 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
             ent = huf_ref[v]
             nb = ent & 0xFF
             e2 = jnp.logical_or(e2, nb == 0)
+            pend = pend | jax.lax.shift_left(
+                jax.lax.shift_right_logical(ent, jnp.int32(8)), 8 * np_)
+            np_ = np_ + 1
+            i = i + 1
 
-            @pl.when(jnp.logical_not(e2))
-            def _():
-                wr_lit(dst + i, jax.lax.shift_right_logical(
-                    ent, jnp.int32(8)))
+            def fl(a):
+                pend, np_ = a
+                flush_lits(dst + i - 4, pend, jnp.int32(4), e2)
+                return jnp.int32(0), jnp.int32(0)
+            pend, np_ = jax.lax.cond(np_ == 4, fl, lambda a: a, (pend, np_))
             left = left - nb
             e2 = jnp.logical_or(e2, left < 0)
-            return i + 1, left, e2
+            return i, left, e2, pend, np_
 
-        _, left, e = jax.lax.while_loop(cond, body, (jnp.int32(0), left, e))
+        i, left, e, pend, np_ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), left, e, jnp.int32(0), jnp.int32(0)))
+        flush_lits(dst + i - np_, pend, np_, e)
         return jnp.logical_or(e, left != 0)
 
     # ---------------- frame header -------------------------------------------
