@@ -14,6 +14,7 @@ Usage:  python benchmarks/pallas_kernel_report.py [--mb 4] [--chunk-kb 64]
 from __future__ import annotations
 
 import argparse
+import functools
 import sys
 import time
 
@@ -55,6 +56,7 @@ def main() -> None:
 
     def stage(fmt):
         """Host-side compressed chunks via the best oracle."""
+        fmt = {"gdeflate-serial": "gdeflate"}.get(fmt, fmt)
         if fmt == "lz4" and avail.get("lz4"):
             return [interop.lz4_compress(c) for c in chunks], "liblz4"
         if fmt == "snappy" and avail.get("snappy"):
@@ -79,6 +81,9 @@ def main() -> None:
 
     results = []
     fmts = args.formats or sorted(pk.PALLAS_DECODERS)
+    if not args.formats or "gdeflate" in fmts:
+        fmts = [f for f in fmts if f != "gdeflate"] + \
+            ["gdeflate", "gdeflate-serial"]
     for fmt in fmts:
         try:
             comp, oracle = stage(fmt)
@@ -86,7 +91,14 @@ def main() -> None:
             log(f"[{fmt}] staging failed: {e}")
             continue
         cb = ChunkBatch.from_chunks(comp)
-        dec_fn = pk.PALLAS_DECODERS[fmt]
+        if fmt == "gdeflate-serial":
+            import jax as _jax
+            from tpucomp.ops.pallas import gdeflate_decode as _gds
+            interp = _jax.default_backend() != "tpu"
+            dec_fn = functools.partial(_gds.decompress_batch,
+                                       interpret=interp)
+        else:
+            dec_fn = pk.PALLAS_DECODERS[fmt]
         orig = ChunkBatch.from_chunks(chunks)
 
         @jax.jit
