@@ -96,3 +96,18 @@ def test_sharded_roundtrip_pallas_backend(mesh):
     dec, dsz, csz, status = fn(d, z)
     assert int(status) == 0
     assert np.asarray(dec).reshape(-1)[:len(data)].tobytes() == data
+
+
+def test_compressed_all_gather_pallas_backend(mesh):
+    """The allgather pipeline through the Pallas kernel path on the mesh."""
+    chunk = 2048
+    data = synth.mixed_corpus(16 * chunk, seed=21).tobytes()
+    cb = ChunkBatch.from_bytes(data, chunk_size=chunk)
+    fn = parallel.compressed_all_gather_fn("lz4", mesh, "chunks", chunk,
+                                           backend="pallas")
+    d = jax.device_put(cb.data, NamedSharding(mesh, P("chunks", None)))
+    z = jax.device_put(cb.sizes, NamedSharding(mesh, P("chunks")))
+    dec, dsz, csz, status = fn(d, z)
+    assert int(status) == 0
+    assert np.asarray(dec).reshape(-1)[:len(data)].tobytes() == data
+    assert int(np.asarray(csz).sum()) < len(data)

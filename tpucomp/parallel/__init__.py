@@ -40,7 +40,7 @@ def _codec(fmt: str):
 
 def compressed_all_gather_fn(fmt: str, mesh: Mesh, axis_name: str,
                              max_chunk_bytes: int, out_cap: int | None = None,
-                             opts: Any = None):
+                             opts: Any = None, backend: str = "xla"):
     """Build the jitted sharded step: compress local chunk shard -> all-gather the
     compressed payload -> decompress every chunk on every device.
 
@@ -51,15 +51,19 @@ def compressed_all_gather_fn(fmt: str, mesh: Mesh, axis_name: str,
     The input chunk axis must be sharded over ``axis_name``; chunk count must be
     divisible by the mesh axis size.
     """
+    from tpucomp import batched as _batched
     spec = _codec(fmt)
     opts = opts if opts is not None else spec.default_opts
     cap = out_cap or spec.max_compressed_chunk_size(max_chunk_bytes, opts)
+    enc = _batched._encode_fn(fmt, spec, backend) if backend != "xla" \
+        else (lambda d, s2, o, c: spec.compress_batch(d, s2, o, c))
+    dec_f = _batched._decode_fn(fmt, spec, backend)
 
     def step(data, sizes):
-        comp, csz, cst = spec.compress_batch(data, sizes, opts, cap)
+        comp, csz, cst = enc(data, sizes, opts, cap)
         comp_all = jax.lax.all_gather(comp, axis_name, tiled=True)
         csz_all = jax.lax.all_gather(csz, axis_name, tiled=True)
-        dec, dsz, dst = spec.decompress_batch(comp_all, csz_all, max_chunk_bytes)
+        dec, dsz, dst = dec_f(comp_all, csz_all, max_chunk_bytes)
         return dec, dsz, csz_all, jnp.maximum(jnp.max(cst), jnp.max(dst))
 
     # check_vma=False: after the all_gather every device computes the same
