@@ -97,32 +97,31 @@ def copy_pattern(ref, op, offset, n):
     """Self-overlapping LZ77 match copy: write ``n`` bytes at ``op`` replicating
     the period-``offset`` pattern that ends at ``op`` (``0 < offset < BLK``).
 
-    Phase 1 amplifies the valid pattern span from ``offset`` to >= 2*BLK bytes
-    by log-doubling single-block copies (each reads fully before writing, so
-    any overlap is safe).  Phase 2 block-copies the remainder at displacement
-    ``D = ceil(BLK/offset)*offset`` — a multiple of the period that is >= BLK,
-    so the multi-block precondition of :func:`copy_bytes` holds.
-
-    All amplification writes land at or after ``op`` (the match's own output
-    region or wild slack past it); nothing before ``op`` is clobbered.
+    Phase 1 amplifies the pattern IN REGISTER: one window read of the
+    ``offset`` valid bytes, then log-doubling lane rolls (a roll by ``v`` — a
+    multiple of the period — maps ``pattern[l mod offset]`` onto lanes
+    ``[v, 2v)``) until all 128 lanes carry the periodic extension; ONE wild
+    store materializes them at ``op``.  Phase 2 block-copies any remainder at
+    displacement ``D = ceil(BLK/offset)*offset`` — a period multiple >= BLK
+    (and <= BLK-1+offset, within the BLK+offset bytes now valid), so the
+    multi-block precondition of :func:`copy_bytes` holds.
     """
-    m0 = op - offset
+    lanes = _lanes()
+    p = window128(ref, op - offset)  # lanes [0, offset) valid
 
-    def amp_cond(v):
-        return jnp.logical_and(v < 2 * BLK, m0 + v < op + n)
+    def amp_cond(s):
+        return s[1] < BLK
 
-    def amp_body(v):
-        w = window128(ref, m0)
-        store128_wild(ref, m0 + v, w)
-        # the 128-byte store extends the valid pattern span by min(v, BLK)
-        # bytes, NOT to 2*v: window128 reads only 128 bytes, so once v > BLK
-        # a single store appends at most BLK new valid bytes.
-        return v + jnp.minimum(v, BLK)
+    def amp_body(s):
+        p, v = s
+        # roll(p, v)[l] = p[l - v mod 128]; v is a period multiple, so lanes
+        # [v, 2v) receive pattern[(l - v) mod offset] == pattern[l mod offset]
+        return jnp.where(lanes < v, p, pltpu.roll(p, v, axis=1)), v * 2
 
-    span = jax.lax.while_loop(amp_cond, amp_body, offset)
-    # valid pattern now covers [m0, m0 + min(span, 2*BLK)); the match region
-    # [op, op + written) is already correct, where written = span - offset.
-    written = jnp.minimum(span - offset, n)
+    p, _ = jax.lax.while_loop(amp_cond, amp_body, (p, offset))
+    store128_wild(ref, op, p)
+
+    written = jnp.minimum(jnp.int32(BLK), n)
     d = ((BLK + offset - 1) // offset) * offset
     remaining = n - written
     jax.lax.cond(
