@@ -94,7 +94,7 @@ def _kernel(out_cap: int, w_words: int,
         # case by far (avg literal run 2.2 B, avg match 11.2 B on the mixed
         # corpus; PERF_MODEL.md §2)
         q = ip + 1 + ll0                      # offset field position
-        ob0, ob1, _ = get3(q)
+        ob0, ob1, ob2_f = get3(q)
         off_f = ob0 | (ob1 << 8)
         ml_f = ml0 + MIN_MATCH
         terminal_f = ip + 1 + ll0 == csize
@@ -107,6 +107,19 @@ def _kernel(out_cap: int, w_words: int,
                               jnp.logical_and(terminal_f,
                                               jnp.logical_and(ll0 < 15,
                                                               op + ll0 <= out_cap)))
+
+        # ---------------- medium path: short literals + LONG match -----------
+        # (ll<15, ml0==15 with a single extension byte — the dominant token on
+        # high-ratio columnar data, e.g. the ratio-39 headline corpus where
+        # matches average ~200 B).  get3(q) already delivers offset lo/hi AND
+        # the extension byte; copies go through the block/pattern pair.
+        ml_m = 19 + ob2_f
+        med = jnp.logical_and(ll0 < 15, ml0 == 15)
+        med = jnp.logical_and(med, ob2_f < 255)
+        med = jnp.logical_and(med, q + 3 <= csize)
+        med = jnp.logical_and(med, off_f > 0)
+        med = jnp.logical_and(med, off_f <= op + ll0)
+        med = jnp.logical_and(med, op + ll0 + ml_m <= out_cap)
 
         def fast_part(a):
             ip, op, err, done = a
@@ -126,6 +139,26 @@ def _kernel(out_cap: int, w_words: int,
             ip2 = jnp.where(terminal_f, csize, q + 2)
             op3 = jnp.where(terminal_f, op2, op2 + ml_f)
             return ip2, op3, err, terminal_f
+
+        def med_part(a):
+            ip, op, err, done = a
+
+            @pl.when(ll0 > 0)
+            def _():
+                v = bc.window128(lanes_ref, ip + 1)
+                bc.store128_wild(out_ref, op, v)
+
+            op2 = op + ll0
+
+            @pl.when(off_f >= bc.BLK)
+            def _():
+                bc.copy_bytes(out_ref, out_ref, op2 - off_f, op2, ml_m)
+
+            @pl.when(off_f < bc.BLK)
+            def _():
+                bc.copy_pattern(out_ref, op2, off_f, ml_m)
+
+            return q + 3, op2 + ml_m, err, done
 
         def slow_part(a):
             ip, op, err, done = a
@@ -177,7 +210,10 @@ def _kernel(out_cap: int, w_words: int,
                 (ip, op, err))
             return ip, op, err, done
 
-        return jax.lax.cond(fast, fast_part, slow_part, (ip, op, err, done))
+        return jax.lax.cond(
+            fast, fast_part,
+            lambda a: jax.lax.cond(med, med_part, slow_part, a),
+            (ip, op, err, done))
 
     ip0 = jnp.int32(0)
     _, op, err, done = jax.lax.while_loop(
