@@ -129,13 +129,15 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
 
     def bwd_read(base_bits, left, n):
         """Read the top n (<= 30) bits of a backward stream -> (v, left - n).
-        Underflow (left < n) zero-pads from the bottom, pyref semantics."""
+        Underflow (left < n) zero-pads from the bottom, pyref semantics.
+        One window read serves both cases: position, width, and post-shift
+        are parameterized instead of computing both variants."""
         left2 = left - n
-        v_ok = peek_w(base_bits + jnp.maximum(left2, 0), n)
-        nn = jnp.maximum(n + left2, 0)
-        sh_un = jnp.clip(-left2, 0, 30)
-        v_un = jax.lax.shift_left(peek_w(base_bits, nn), sh_un)
-        v = jnp.where(left2 >= 0, v_ok, v_un)
+        under = left2 < 0
+        pos = base_bits + jnp.maximum(left2, 0)
+        nn = jnp.where(under, jnp.maximum(n + left2, 0), n)
+        sh = jnp.where(under, jnp.clip(-left2, 0, 30), 0)
+        v = jax.lax.shift_left(peek_w(pos, nn), sh)
         return jnp.where(n > 0, v, 0), left2
 
     def bwd_init(start_byte, nbytes):
@@ -464,11 +466,10 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
 
         def body(s):
             i, left, e2, pend, np_ = s
-            v_ok = peek_w(base + left - max_bits, max_bits)
-            v_sh = jax.lax.shift_left(
-                peek_w(base, jnp.maximum(left, 0)),
-                max_bits - jnp.minimum(left, max_bits))
-            v = jnp.where(left >= max_bits, v_ok, v_sh)
+            nn = jnp.minimum(jnp.maximum(left, 0), max_bits)
+            v = jax.lax.shift_left(
+                peek_w(base + jnp.maximum(left - max_bits, 0), nn),
+                max_bits - nn)
             ent = huf_ref[v]
             nb = ent & 0xFF
             e2 = jnp.logical_or(e2, nb == 0)
