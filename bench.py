@@ -59,6 +59,27 @@ def main() -> None:
                          "headline on mortgage, mixed reported alongside")
     args = ap.parse_args()
 
+    # the axon tunnel can hang device init indefinitely when degraded, and
+    # the blocked C call cannot be interrupted in-process — probe it in a
+    # SUBPROCESS first and fail fast with a parseable line
+    import os
+    import subprocess
+    probe_s = int(os.environ.get("TPUCOMP_BENCH_STARTUP_TIMEOUT", "1200"))
+    if probe_s > 0:
+        try:
+            subprocess.run([sys.executable, "-c",
+                            "import jax; jax.devices()"],
+                           timeout=probe_s, check=False,
+                           stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+        except subprocess.TimeoutExpired:
+            print(json.dumps({
+                "metric": f"{args.codec}_decompress_throughput",
+                "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+                "error": "device init timeout (axon tunnel unresponsive)",
+            }))
+            sys.exit(3)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
