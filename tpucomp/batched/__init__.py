@@ -103,6 +103,25 @@ def decompress_get_temp_size(fmt: str, num_chunks: int = 0,
     return 0
 
 
+def compress_get_temp_size_ex(fmt: str, num_chunks: int = 0,
+                              max_uncompressed_chunk_bytes: int = 0,
+                              max_total_uncompressed_bytes: int = 0) -> int:
+    """Analog of ``nvcompBatched<Fmt>CompressGetTempSizeEx``
+    (``CHANGELOG.md:114-117``: the Ex variants take the total uncompressed
+    size so scratch can scale sublinearly).  XLA owns scratch, so 0."""
+    _get(fmt)
+    return 0
+
+
+def decompress_get_temp_size_ex(fmt: str, num_chunks: int = 0,
+                                max_uncompressed_chunk_bytes: int = 0,
+                                max_total_uncompressed_bytes: int = 0) -> int:
+    """Analog of ``nvcompBatched<Fmt>DecompressGetTempSizeEx``
+    (``CHANGELOG.md:36-41``).  XLA owns scratch, so 0."""
+    _get(fmt)
+    return 0
+
+
 def _alignment_failure(fmt: str, n: int, out_cap: int):
     """Whole-call ``nvcompErrorAlignment`` analog (``CHANGELOG.md:15-16``)."""
     return (ChunkBatch(data=jnp.zeros((n, out_cap), jnp.uint8),
@@ -271,5 +290,6 @@ __all__ = [
     "CodecSpec", "register", "formats",
     "compress", "decompress", "get_decompress_size",
     "compress_get_max_output_chunk_size", "compress_get_temp_size",
-    "decompress_get_temp_size", "roundtrip_verify",
+    "compress_get_temp_size_ex", "decompress_get_temp_size",
+    "decompress_get_temp_size_ex", "roundtrip_verify",
 ]
