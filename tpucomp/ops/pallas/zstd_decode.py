@@ -843,25 +843,27 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
                         bc.copy_pattern(out_ref, op, off, ml)
                     op = op + ml
 
-                    # state updates (skipped after the last sequence)
+                    # state updates (skipped after the last sequence); the
+                    # three reads are at consecutive positions and total
+                    # <= 9+9+8 bits — ONE combined window read, split by
+                    # read order (ll topmost, then ml, then of)
                     def upd(a):
                         left, ll_s, of_s, ml_s = a
-                        lv, left = bwd_read(
-                            base, left,
-                            jax.lax.shift_right_logical(ll_e, jnp.int32(8))
-                            & 0xFF)
+                        lnb = jax.lax.shift_right_logical(
+                            ll_e, jnp.int32(8)) & 0xFF
+                        mnb = jax.lax.shift_right_logical(
+                            ml_e, jnp.int32(8)) & 0xFF
+                        onb = jax.lax.shift_right_logical(
+                            of_e, jnp.int32(8)) & 0xFF
+                        v, left = bwd_read(base, left, lnb + mnb + onb)
+                        lv = jax.lax.shift_right_logical(v, mnb + onb)
+                        mv = jax.lax.shift_right_logical(v, onb) \
+                            & (jax.lax.shift_left(jnp.int32(1), mnb) - 1)
+                        ov = v & (jax.lax.shift_left(jnp.int32(1), onb) - 1)
                         ll_s = (jax.lax.shift_right_logical(
                             ll_e, jnp.int32(16)) & 0xFFFF) + lv
-                        mv, left = bwd_read(
-                            base, left,
-                            jax.lax.shift_right_logical(ml_e, jnp.int32(8))
-                            & 0xFF)
                         ml_s = (jax.lax.shift_right_logical(
                             ml_e, jnp.int32(16)) & 0xFFFF) + mv
-                        ov, left = bwd_read(
-                            base, left,
-                            jax.lax.shift_right_logical(of_e, jnp.int32(8))
-                            & 0xFF)
                         of_s = (jax.lax.shift_right_logical(
                             of_e, jnp.int32(16)) & 0xFFFF) + ov
                         return left, ll_s, of_s, ml_s
