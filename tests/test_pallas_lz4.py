@@ -198,3 +198,17 @@ def test_encode_via_batched_backend_param():
     dec, dstat = batched.decompress("lz4", comp, 4096, backend="xla")
     assert (np.asarray(dstat) == Status.SUCCESS).all()
     assert np.asarray(dec.data).reshape(-1)[:len(buf)].tobytes() == buf
+
+
+@pytest.mark.skipif(not HAVE_LZ4, reason="liblz4 missing")
+def test_headline_corpus_long_matches():
+    """mortgage_like (ratio ~39) routes through the medium decode path:
+    ml0==15 with one or TWO extension bytes (~360-byte matches)."""
+    buf = synth.mortgage_like(96_000, seed=42).tobytes()
+    chunks = [buf[i:i + 16384] for i in range(0, len(buf), 16384)]
+    comp = [interop.lz4_compress(c) for c in chunks]
+    out, osz, stat = _decode(comp, 16384)
+    for i, c in enumerate(chunks):
+        assert stat[i] == Status.SUCCESS, (i, stat[i])
+        assert osz[i] == len(c)
+        assert out[i, :len(c)].tobytes() == c, i

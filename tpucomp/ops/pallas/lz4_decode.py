@@ -109,14 +109,19 @@ def _kernel(out_cap: int, w_words: int,
                                                               op + ll0 <= out_cap)))
 
         # ---------------- medium path: short literals + LONG match -----------
-        # (ll<15, ml0==15 with a single extension byte — the dominant token on
-        # high-ratio columnar data, e.g. the ratio-39 headline corpus where
-        # matches average ~200 B).  get3(q) already delivers offset lo/hi AND
-        # the extension byte; copies go through the block/pattern pair.
-        ml_m = 19 + ob2_f
+        # (ll<15, ml0==15 with one or two extension bytes, i.e. matches up to
+        # 529 B — the dominant token on high-ratio columnar data, e.g. the
+        # ratio-39 headline corpus where matches average ~360 B).  get3(q)
+        # already delivers offset lo/hi AND the first extension byte; copies
+        # go through the block/pattern pair.
+        ext2 = ob2_f == 255
+        eb2 = getb(q + 3)
+        ml_m = 19 + ob2_f + jnp.where(ext2, eb2, 0)
+        q_adv = q + 3 + ext2.astype(jnp.int32)
         med = jnp.logical_and(ll0 < 15, ml0 == 15)
-        med = jnp.logical_and(med, ob2_f < 255)
-        med = jnp.logical_and(med, q + 3 <= csize)
+        med = jnp.logical_and(med, jnp.logical_or(jnp.logical_not(ext2),
+                                                  eb2 < 255))
+        med = jnp.logical_and(med, q_adv <= csize)
         med = jnp.logical_and(med, off_f > 0)
         med = jnp.logical_and(med, off_f <= op + ll0)
         med = jnp.logical_and(med, op + ll0 + ml_m <= out_cap)
@@ -158,7 +163,7 @@ def _kernel(out_cap: int, w_words: int,
             def _():
                 bc.copy_pattern(out_ref, op2, off_f, ml_m)
 
-            return q + 3, op2 + ml_m, err, done
+            return q_adv, op2 + ml_m, err, done
 
         def slow_part(a):
             ip, op, err, done = a
