@@ -28,7 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpucomp.constants import Status
 from tpucomp.formats.deflate import CL_ORDER, LEN_BASE, LEN_EXTRA
-from tpucomp.formats.gdeflate import (GDIST_BASE, GDIST_EXTRA, HDR, LANE_TAB,
+from tpucomp.formats.gdeflate import (GDIST_BASE, GDIST_EXTRA, HDR,
                                       N_LANES, PAYLOAD)
 from tpucomp.ops.pallas import bytecopy as bc
 from tpucomp.ops.pallas import huffman

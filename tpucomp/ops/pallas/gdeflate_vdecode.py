@@ -31,12 +31,11 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpucomp.constants import Status
-from tpucomp.formats.gdeflate import HDR, N_LANES, PAYLOAD, tile_tables
+from tpucomp.formats.gdeflate import HDR, N_LANES, tile_tables
 from tpucomp.ops.pallas import bytecopy as bc
 
 V = 128           # vector width (32 active lanes)
