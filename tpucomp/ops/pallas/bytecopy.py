@@ -75,6 +75,23 @@ def store128_wild(ref, pos, v):
     ref[0, pl.ds(r + 1, 1), :] = w
 
 
+def store128_masked(ref, pos, v, n):
+    """Store EXACTLY ``n`` (0..128) bytes of ``v`` at byte ``pos`` — both rows
+    read-modify-write blended, no wild junk.  For writers whose overshoot
+    would land on bytes another stream already produced (unlike the
+    sequential wild-store pattern, where later writes clean earlier junk)."""
+    r = pos >> 7
+    o = pos & (BLK - 1)
+    w = pltpu.roll(v, o, axis=1)
+    lanes = _lanes()
+    old0 = ref[0, pl.ds(r, 1), :]
+    m0 = jnp.logical_and(lanes >= o, lanes < o + n)
+    ref[0, pl.ds(r, 1), :] = jnp.where(m0, w, old0)
+    old1 = ref[0, pl.ds(r + 1, 1), :]
+    m1 = lanes < o + n - BLK
+    ref[0, pl.ds(r + 1, 1), :] = jnp.where(m1, w, old1)
+
+
 def copy_bytes(src_ref, dst_ref, src, dst, n):
     """Copy ``n`` bytes from ``src_ref@src`` to ``dst_ref@dst`` in 128-byte
     wild blocks.  If ``src_ref is dst_ref`` and more than one block is copied,

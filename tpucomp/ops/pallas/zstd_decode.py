@@ -492,6 +492,96 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
         flush_lits(dst + i - np_, pend, np_, e)
         return jnp.logical_or(e, left != 0)
 
+    def flush_lits_masked(p, pend, np_, e):
+        """Interleaved-writer flush: exact-width store (wild junk would land
+        on bytes a NEIGHBORING stream already produced)."""
+        v = jnp.where(
+            lane128 == 0, pend & 0xFF,
+            jnp.where(lane128 == 1,
+                      jax.lax.shift_right_logical(pend, jnp.int32(8)) & 0xFF,
+                      jnp.where(lane128 == 2,
+                                jax.lax.shift_right_logical(
+                                    pend, jnp.int32(16)) & 0xFF,
+                                jax.lax.shift_right_logical(
+                                    pend, jnp.int32(24)) & 0xFF)))
+
+        @pl.when(jnp.logical_and(np_ > 0, jnp.logical_not(e)))
+        def _():
+            bc.store128_masked(lit_ref, p, v.astype(jnp.int32), np_)
+
+    def huf_streams4(sbase, j1, j2, j3, j4, per, cl, max_bits):
+        """Decode the FOUR backward literal streams interleaved: four
+        independent dependency chains per iteration hide the scalar core's
+        in-order SMEM load latency behind one another (streams are fully
+        independent by construction — that is why the format has four)."""
+        base0, l0, ea = bwd_init(sbase, j1)
+        base1, l1, eb = bwd_init(sbase + j1, j2)
+        base2, l2, ec = bwd_init(sbase + j1 + j2, j3)
+        base3, l3, ed = bwd_init(sbase + j1 + j2 + j3, j4)
+
+        def sym1(bb, left, pend, np_, dst, i, e):
+            nn = jnp.minimum(jnp.maximum(left, 0), max_bits)
+            v = jax.lax.shift_left(
+                peek_w(bb + jnp.maximum(left - max_bits, 0), nn),
+                max_bits - nn)
+            ent = huf_ref[v]
+            nb = ent & 0xFF
+            e = jnp.logical_or(e, nb == 0)
+            pend = pend | jax.lax.shift_left(
+                jax.lax.shift_right_logical(ent, jnp.int32(8)), 8 * np_)
+            np_ = np_ + 1
+
+            def fl(a):
+                pend, np_ = a
+                flush_lits_masked(dst + i + 1 - 4, pend, jnp.int32(4), e)
+                return jnp.int32(0), jnp.int32(0)
+            pend, np_ = jax.lax.cond(np_ == 4, fl, lambda a: a, (pend, np_))
+            left = left - nb
+            return left, pend, np_, jnp.logical_or(e, left < 0)
+
+        z = jnp.int32(0)
+
+        def cond(s):
+            return s[0] < cl
+
+        def body(s):
+            (i, l0, l1, l2, l3, p0, p1, p2, p3, n0, n1, n2, n3,
+             ea, eb, ec, ed) = s
+            l0, p0, n0, ea = sym1(base0, l0, p0, n0, z, i, ea)
+            l1, p1, n1, eb = sym1(base1, l1, p1, n1, per, i, eb)
+            l2, p2, n2, ec = sym1(base2, l2, p2, n2, 2 * per, i, ec)
+            l3, p3, n3, ed = sym1(base3, l3, p3, n3, 3 * per, i, ed)
+            return (i + 1, l0, l1, l2, l3, p0, p1, p2, p3, n0, n1, n2, n3,
+                    ea, eb, ec, ed)
+
+        (i, l0, l1, l2, l3, p0, p1, p2, p3, n0, n1, n2, n3,
+         ea, eb, ec, ed) = jax.lax.while_loop(
+            cond, body, (z, l0, l1, l2, l3, z, z, z, z, z, z, z, z,
+                         ea, eb, ec, ed))
+
+        # streams 1-3 may carry up to 3 more symbols than the fourth
+        def drain(bb, left, pend, np_, dst, e):
+            def dcond(s):
+                return s[0] < per
+
+            def dbody(s):
+                i, left, pend, np_, e = s
+                left, pend, np_, e = sym1(bb, left, pend, np_, dst, i, e)
+                return i + 1, left, pend, np_, e
+
+            i, left, pend, np_, e = jax.lax.while_loop(
+                dcond, dbody, (cl, left, pend, np_, e))
+            flush_lits_masked(dst + i - np_, pend, np_, e)
+            return jnp.logical_or(e, left != 0)
+
+        ea = drain(base0, l0, p0, n0, z, ea)
+        eb = drain(base1, l1, p1, n1, per, eb)
+        ec = drain(base2, l2, p2, n2, 2 * per, ec)
+        flush_lits_masked(3 * per + i - n3, p3, n3, ed)
+        ed = jnp.logical_or(ed, l3 != 0)
+        return jnp.logical_or(jnp.logical_or(ea, eb),
+                              jnp.logical_or(ec, ed))
+
     # ---------------- frame header -------------------------------------------
     err0 = csize < 5
     magic = (getb(jnp.int32(0)) | (getb(jnp.int32(1)) << 8)
@@ -654,17 +744,9 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
                     e3 = jnp.logical_or(e3, cl < 0)
 
                     def go(e4):
-                        e4 = jnp.logical_or(
-                            e4, huf_stream(sbase, j1, per, jnp.int32(0), mb))
-                        e4 = jnp.logical_or(
-                            e4, huf_stream(sbase + j1, j2, per, per, mb))
-                        e4 = jnp.logical_or(
-                            e4, huf_stream(sbase + j1 + j2, j3, per,
-                                           2 * per, mb))
-                        e4 = jnp.logical_or(
-                            e4, huf_stream(sbase + j1 + j2 + j3, j4, cl,
-                                           3 * per, mb))
-                        return e4
+                        return jnp.logical_or(
+                            e4, huf_streams4(sbase, j1, j2, j3, j4, per, cl,
+                                             mb))
                     return jax.lax.cond(e3, lambda e4: e4, go, e3)
 
                 def one_stream(e3):
