@@ -30,6 +30,10 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--formats", nargs="*", default=None)
     ap.add_argument("--skip-encode", action="store_true")
+    ap.add_argument("--dataset", default="mixed",
+                    choices=["mixed", "mortgage"],
+                    help="mixed = Silesia-like ratio-2.5; mortgage = the "
+                         "reference-headline-like ratio-39 column data")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +49,9 @@ def main() -> None:
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
     chunk = args.chunk_kb * 1024
-    corpus = synth.mixed_corpus(args.mb << 20, seed=42).tobytes()
+    gen = (synth.mortgage_like if args.dataset == "mortgage"
+           else synth.mixed_corpus)
+    corpus = gen(args.mb << 20, seed=42).tobytes()
     chunks = [corpus[o:o + chunk] for o in range(0, len(corpus), chunk)]
     if chunks and len(chunks[-1]) != chunk:
         chunks = chunks[:-1]
