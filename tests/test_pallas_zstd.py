@@ -121,3 +121,19 @@ def test_output_buffer_too_small():
     out, osz, stat = _decode([comp], 1024)
     assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
     assert osz[0] == 0
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_large_out_cap_falls_back_to_xla():
+    """The batched dispatch gates the kernel at 512 KiB out_cap (VMEM block
+    budget); bigger frames route to the XLA program transparently."""
+    from tpucomp.ops import pallas as pk
+    buf = synth.mixed_corpus(700_000, seed=2).tobytes()
+    comp = interop.zstd_compress(buf, level=3)
+    cb = ChunkBatch.from_chunks([comp])
+    out, osz, stat = map(np.asarray,
+                         pk.PALLAS_DECODERS["zstd"](cb.data, cb.sizes,
+                                                    1 << 20))
+    assert stat[0] == Status.SUCCESS
+    assert osz[0] == len(buf)
+    assert out[0, :len(buf)].tobytes() == buf
