@@ -68,16 +68,33 @@ def decode_block(size, freq, cum, cumn, x0, stream_ref, out_ref,
     # strict lower-triangular ones: rank_l = #{m < l : need_m}
     tri = (iota_j < iota_l).astype(jnp.float32)
 
+    # table lookups as MXU contractions: freq/cum < 2^12 split into bytes
+    # (each < 256, bf16-exact through the f32 matmul; exactly one one-hot
+    # term is nonzero per lane, so no summation error either)
+    f_lo = (freq & 0xFF).astype(jnp.float32).reshape(1, 256)
+    f_hi = jax.lax.shift_right_logical(freq, jnp.int32(8)).astype(
+        jnp.float32).reshape(1, 256)
+    c_lo = (cum & 0xFF).astype(jnp.float32).reshape(1, 256)
+    c_hi = jax.lax.shift_right_logical(cum, jnp.int32(8)).astype(
+        jnp.float32).reshape(1, 256)
+
+    def lookup(row, hot_f):
+        return jax.lax.dot_general(
+            row, hot_f, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
     def body(t, carry):
         x, ptr, consumed = carry
         act = (t * N + lanes) < size
         slot = x & jnp.int32(PROB_SCALE - 1)
         shr = jax.lax.shift_right_logical(x, jnp.int32(12))
-        # symbol via boundary-count; freq/cum via one-hot masked sums
+        # symbol via boundary-count; freq/cum via one-hot MXU lookups
         sym = jnp.sum((cumn <= slot).astype(jnp.int32), axis=0, keepdims=True)
-        hot = (iota_s == sym).astype(jnp.int32)
-        f = jnp.sum(hot * freq, axis=0, keepdims=True)
-        c = jnp.sum(hot * cum, axis=0, keepdims=True)
+        hot_f = (iota_s == sym).astype(jnp.float32)
+        f = lookup(f_lo, hot_f) | jax.lax.shift_left(lookup(f_hi, hot_f),
+                                                     jnp.int32(8))
+        c = lookup(c_lo, hot_f) | jax.lax.shift_left(lookup(c_hi, hot_f),
+                                                     jnp.int32(8))
         x_new = f * shr + slot - c  # int32 wrap == uint32 bit pattern
         need = jnp.logical_and(act, (x_new & jnp.int32(-(1 << 16))) == 0)
         need_f = need.astype(jnp.float32)
