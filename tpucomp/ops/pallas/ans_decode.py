@@ -83,13 +83,16 @@ def decode_block(size, freq, cum, cumn, x0, stream_ref, out_ref,
             row, hot_f, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
 
+    ones_row = jnp.ones((1, 256), jnp.float32)
+
     def body(t, carry):
         x, ptr, consumed = carry
         act = (t * N + lanes) < size
         slot = x & jnp.int32(PROB_SCALE - 1)
         shr = jax.lax.shift_right_logical(x, jnp.int32(12))
-        # symbol via boundary-count; freq/cum via one-hot MXU lookups
-        sym = jnp.sum((cumn <= slot).astype(jnp.int32), axis=0, keepdims=True)
+        # symbol via boundary-count (the column reduce rides the MXU: sums
+        # of <= 256 ones are bf16-exact); freq/cum via one-hot MXU lookups
+        sym = lookup(ones_row, (cumn <= slot).astype(jnp.float32))
         hot_f = (iota_s == sym).astype(jnp.float32)
         f = lookup(f_lo, hot_f) | jax.lax.shift_left(lookup(f_hi, hot_f),
                                                      jnp.int32(8))
