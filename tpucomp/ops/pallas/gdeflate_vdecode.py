@@ -79,21 +79,27 @@ def _parse_kernel(R_cap: int, max_dw: int,
     iota_32 = jax.lax.broadcasted_iota(jnp.int32, (32, V), 0)
     D = d_ref[0, 0:1, :]
 
-    def decode_sym(lo, tab_ref, sor, sor_iota):
+    # hoist the per-length canonical scalars (fixed per tile) out of the
+    # round loop: 45 SMEM loads per slot otherwise re-issue every round
+    ltab = [(ltab_ref[b, l], ltab_ref[b, 16 + l], ltab_ref[b, 32 + l])
+            for l in range(1, 16)]
+    dtab = [(dtab_ref[b, l], dtab_ref[b, 16 + l], dtab_ref[b, 32 + l])
+            for l in range(1, 16)]
+
+    def decode_sym(lo, tab, sor, sor_iota):
         """Canonical decode of the next code in every lane ->
-        (sym, len, ok).  ``tab_ref`` rows: [count(16) first(16) offset(16)]."""
+        (sym, len, ok).  ``tab``: [(count, first, offset)] per length."""
         rev = _rev15(lo & 0x7FFF)
         sym_idx = jnp.zeros((1, V), jnp.int32)
         length = jnp.zeros((1, V), jnp.int32)
         found = jnp.zeros((1, V), jnp.bool_)
         for l in range(1, 16):
+            cnt_l, first_l, off_l = tab[l - 1]
             code_l = jax.lax.shift_right_logical(rev, jnp.int32(15 - l))
-            first_l = tab_ref[b, 16 + l]
-            cnt_l = tab_ref[b, l]
             in_range = jnp.logical_and(code_l >= first_l,
                                        code_l - first_l < cnt_l)
             hit = jnp.logical_and(jnp.logical_not(found), in_range)
-            idx = tab_ref[b, 32 + l] + code_l - first_l
+            idx = off_l + code_l - first_l
             sym_idx = jnp.where(hit, idx, sym_idx)
             length = jnp.where(hit, jnp.int32(l), length)
             found = jnp.logical_or(found, in_range)
@@ -149,7 +155,7 @@ def _parse_kernel(R_cap: int, max_dw: int,
 
         # field 1: lit/len symbol
         lo, hi, nb, taken, sp = refill(lo, hi, nb, taken, sp)
-        sym, l1, ok1 = decode_sym(lo, ltab_ref, lsor_ref[0], iota_288)
+        sym, l1, ok1 = decode_sym(lo, ltab, lsor_ref[0], iota_288)
         err = jnp.logical_or(err, jnp.any(jnp.logical_and(
             act, jnp.logical_not(ok1))))
         err = jnp.logical_or(err, jnp.any(jnp.logical_and(act, sym == 256)))
@@ -173,7 +179,7 @@ def _parse_kernel(R_cap: int, max_dw: int,
 
         # field 3: distance symbol
         lo, hi, nb, taken, sp = refill(lo, hi, nb, taken, sp)
-        dsym, l3, ok3 = decode_sym(lo, dtab_ref, dsor_ref[0], iota_32)
+        dsym, l3, ok3 = decode_sym(lo, dtab, dsor_ref[0], iota_32)
         err = jnp.logical_or(err, jnp.any(jnp.logical_and(
             is_m, jnp.logical_not(ok3))))
         lo, hi, nb = consume(lo, hi, nb, jnp.where(is_m, l3, 0))
