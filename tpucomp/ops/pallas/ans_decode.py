@@ -70,20 +70,21 @@ def decode_block(size, freq, cum, cumn, x0, stream_ref, out_ref,
 
     # table lookups as MXU contractions: freq/cum < 2^12 split into bytes
     # (each < 256, bf16-exact through the f32 matmul; exactly one one-hot
-    # term is nonzero per lane, so no summation error either)
-    f_lo = (freq & 0xFF).astype(jnp.float32).reshape(1, 256)
-    f_hi = jax.lax.shift_right_logical(freq, jnp.int32(8)).astype(
-        jnp.float32).reshape(1, 256)
-    c_lo = (cum & 0xFF).astype(jnp.float32).reshape(1, 256)
-    c_hi = jax.lax.shift_right_logical(cum, jnp.int32(8)).astype(
-        jnp.float32).reshape(1, 256)
+    # term is nonzero per lane, so no summation error either).  Contract
+    # over dim 0 of the (256, 1) columns directly — no in-kernel transpose
+    # for Mosaic to relayout.
+    f_lo = (freq & 0xFF).astype(jnp.float32)
+    f_hi = jax.lax.shift_right_logical(freq, jnp.int32(8)).astype(jnp.float32)
+    c_lo = (cum & 0xFF).astype(jnp.float32)
+    c_hi = jax.lax.shift_right_logical(cum, jnp.int32(8)).astype(jnp.float32)
 
-    def lookup(row, hot_f):
+    def lookup(col, hot_f):
+        # (256, 1) x (256, N) contracting dim 0 -> (1, N)
         return jax.lax.dot_general(
-            row, hot_f, (((1,), (0,)), ((), ())),
+            col, hot_f, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
 
-    ones_row = jnp.ones((1, 256), jnp.float32)
+    ones_row = jnp.ones((256, 1), jnp.float32)
 
     def body(t, carry):
         x, ptr, consumed = carry
