@@ -120,10 +120,10 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
         hi = peek_v(pos + 15, jnp.maximum(n - 15, 0))
         return lo | jax.lax.shift_left(hi, jnp.int32(15))
 
-    def bitlen(x):
-        """bit_length of x in [0, 2^20)."""
+    def bitlen(x, hi=20):
+        """bit_length of x in [0, 2^hi)."""
         r = jnp.int32(0)
-        for k in range(20):
+        for k in range(hi):
             r = r + (x >= (1 << k)).astype(jnp.int32)
         return r
 
@@ -144,7 +144,7 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
         """-> (base_bits, left, err): locate the padding bit."""
         lastb = getb(start_byte + nbytes - 1)
         e = jnp.logical_or(nbytes <= 0, lastb == 0)
-        hb = bitlen(lastb) - 1
+        hb = bitlen(lastb, 8) - 1
         return start_byte * 8, (nbytes - 1) * 8 + hb, e
 
     def wr_out(o, v):
@@ -209,7 +209,7 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
             s = fse_ref[tbase + i]
             x = norm_ref[s]
             norm_ref[s] = x + 1
-            nb = acc - (bitlen(x) - 1)
+            nb = acc - (bitlen(x, 11) - 1)
             base = jax.lax.shift_left(x, nb) - size
             fse_ref[tbase + i] = jax.lax.shift_left(base, jnp.int32(16)) \
                 | jax.lax.shift_left(nb, jnp.int32(8)) | s
@@ -264,7 +264,7 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
 
             def rd(a):
                 bp3, rem2, n2 = a
-                nbb = bitlen(rem2)
+                nbb = bitlen(rem2, 11)
                 thr = jax.lax.shift_left(jnp.int32(1),
                                          jnp.maximum(nbb - 1, 0))
                 mx = 2 * thr - 1 - rem2
