@@ -155,3 +155,23 @@ class TestCompileChurn:
             assert bytes(np.asarray(out)) == data
         grew = spec.decompress_batch._cache_size() - before
         assert grew <= 4, f"decode compiled {grew} times for 12 varied inputs"
+
+
+def test_frame_round_trip_through_pallas_backends(monkeypatch):
+    """HLIF frames through the kernel backends (the TPU product path),
+    forced via the env overrides so it runs hermetically on CPU."""
+    import importlib
+
+    from tpucomp import manager as mgr
+    from tpucomp.utils import synth
+
+    monkeypatch.setenv("TPUCOMP_DECODE_BACKEND", "pallas")
+    monkeypatch.setenv("TPUCOMP_ENCODE_BACKEND", "pallas")
+    data = synth.mixed_corpus(24_000, seed=17).tobytes()
+    m = mgr.Manager("lz4", chunk_size=4096)
+    cfg = m.configure_compression(len(data))
+    frame = m.compress(data, cfg)
+    dcfg = m.configure_decompression(frame)
+    out = m.decompress(frame, dcfg)
+    assert bytes(out) == data
+    assert int(dcfg.get_status()) == 0
