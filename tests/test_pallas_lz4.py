@@ -212,3 +212,40 @@ def test_headline_corpus_long_matches():
         assert stat[i] == Status.SUCCESS, (i, stat[i])
         assert osz[i] == len(c)
         assert out[i, :len(c)].tobytes() == c, i
+
+
+# ------------------------------------------------ interleaved-pair decoder ---
+
+def test_pair_decoder_matches_single_everywhere():
+    """lz4_decode2 (two-chunk interleaved walks) must agree with lz4_decode
+    bit-for-bit on valid, corrupt, odd-batch, and headline-corpus inputs."""
+    from tpucomp.ops.pallas import lz4_decode2
+
+    rng = np.random.default_rng(77)
+    raws = [
+        synth.mortgage_like(16000, seed=1).tobytes()[:8192],
+        synth.mixed_corpus(8192, seed=2).tobytes(),
+        b"\x00" * 5000,
+        bytes(rng.integers(0, 256, 700, dtype=np.uint8)),
+        b"x",
+        b"",
+        bytes(rng.integers(0, 4, 3000, dtype=np.uint8)),   # odd count: 7
+    ]
+    if HAVE_LZ4:
+        comp = [interop.lz4_compress(r) for r in raws]
+    else:
+        cb0 = ChunkBatch.from_chunks(raws)
+        co, cs, _ = flz4.compress_batch(
+            cb0.data, cb0.sizes, flz4.DEFAULT_OPTS,
+            flz4.max_compressed_chunk_size(cb0.max_chunk_bytes))
+        co, cs = np.asarray(co), np.asarray(cs)
+        comp = [co[i, :cs[i]].tobytes() for i in range(len(raws))]
+    comp += [b"\xff" * 64, b"\x04abcd\x00\x00"]  # corrupt
+    cb = ChunkBatch.from_chunks(comp)
+    a = list(map(np.asarray, lz4_decode.decompress_batch(
+        cb.data, cb.sizes, 8192, interpret=True)))
+    b = list(map(np.asarray, lz4_decode2.decompress_batch(
+        cb.data, cb.sizes, 8192, interpret=True)))
+    assert (a[2] == b[2]).all(), (a[2], b[2])
+    assert (a[1] == b[1]).all()
+    assert (a[0] == b[0]).all()
