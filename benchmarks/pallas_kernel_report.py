@@ -62,7 +62,7 @@ def main() -> None:
 
     def stage(fmt):
         """Host-side compressed chunks via the best oracle."""
-        fmt = {"gdeflate-serial": "gdeflate"}.get(fmt, fmt)
+        fmt = {"gdeflate-serial": "gdeflate", "lz4-pair": "lz4"}.get(fmt, fmt)
         if fmt == "lz4" and avail.get("lz4"):
             return [interop.lz4_compress(c) for c in chunks], "liblz4"
         if fmt == "snappy" and avail.get("snappy"):
@@ -90,6 +90,8 @@ def main() -> None:
     if not args.formats or "gdeflate" in fmts:
         fmts = [f for f in fmts if f != "gdeflate"] + \
             ["gdeflate", "gdeflate-serial"]
+    if not args.formats or "lz4" in fmts:
+        fmts = fmts + ["lz4-pair"]
     for fmt in fmts:
         try:
             comp, oracle = stage(fmt)
@@ -102,6 +104,12 @@ def main() -> None:
             from tpucomp.ops.pallas import gdeflate_decode as _gds
             interp = _jax.default_backend() != "tpu"
             dec_fn = functools.partial(_gds.decompress_batch,
+                                       interpret=interp)
+        elif fmt == "lz4-pair":
+            import jax as _jax
+            from tpucomp.ops.pallas import lz4_decode2 as _lz2
+            interp = _jax.default_backend() != "tpu"
+            dec_fn = functools.partial(_lz2.decompress_batch,
                                        interpret=interp)
         else:
             dec_fn = pk.PALLAS_DECODERS[fmt]
