@@ -14,6 +14,9 @@ but costs ~30-40 full-buffer gather passes per chunk; this kernel touches each
 byte O(1) times but serializes the parse on the scalar unit.  PERF_MODEL.md
 quantifies the crossover; the batched API exposes both.
 
+A two-chunk interleaved variant lives in :mod:`.lz4_decode2` (overlapping
+token-walk load chains); the kernel report A/Bs the pair on hardware.
+
 Error contract matches the reference (``CHANGELOG.md:160-164``): corrupt input
 yields per-chunk ``ERROR_CANNOT_DECOMPRESS`` and size 0 — never an
 out-of-bounds access (copies are suppressed once any bound would be crossed;
