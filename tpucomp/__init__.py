@@ -2,9 +2,11 @@
 
 A from-scratch JAX/XLA/Pallas framework with the capabilities of NVIDIA nvCOMP
 (see SURVEY.md): batched chunk-parallel codecs (LZ4, Snappy, Cascaded, rANS,
-Deflate/GDeflate, Bitcomp-style, CRC32), a low-level batched API over
-device-resident size/status arrays, and a high-level Manager with a
-self-describing frame format, scaling over multi-chip meshes via shard_map.
+Deflate/Gzip/GDeflate, Zstd, Bitcomp-style, CRC32), a low-level batched API
+over device-resident size/status arrays, a high-level Manager with a
+self-describing frame format, dedicated Pallas/Mosaic kernels for the hot
+decode/encode paths (``tpucomp.ops.pallas``), and scaling over multi-chip
+meshes via shard_map.
 """
 import jax as _jax
 
@@ -23,7 +25,7 @@ from tpucomp.constants import (
 )
 from tpucomp.chunk import ChunkBatch, plan_chunks, plan_chunks_page_prefixed
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "ChunkBatch",
