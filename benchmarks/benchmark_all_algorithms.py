@@ -12,7 +12,10 @@ binary, text, and the mixed Silesia-like corpus; real files can be swept with
 Output: the shared 11-column CSV (one row per algorithm x dataset), plus the
 algorithm/dataset/config columns prepended.
 """
+
 from __future__ import annotations
+
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
 
 import argparse
 import sys

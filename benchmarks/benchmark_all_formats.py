@@ -1,5 +1,7 @@
 #!/usr/bin/env python
 """Sweep every registered format over a corpus (benchmark_all_algorithms.sh analog)."""
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import argparse
 import sys
 

@@ -11,7 +11,10 @@ On a single-chip environment run it over the virtual CPU mesh:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python benchmarks/benchmark_allgather.py --devices 2 4 8
 """
+
 from __future__ import annotations
+
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
 
 import argparse
 import sys

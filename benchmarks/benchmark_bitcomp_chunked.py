@@ -4,6 +4,8 @@
 Per-format flags (``benchmark_bitcomp_chunked.cu:50,64-104``):
 ``-a`` 0 default / 1 sparse, ``-t`` data type — defaults ``{0, uchar}``.
 """
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import argparse
 import sys
 

@@ -5,6 +5,8 @@ Per-format flags (``benchmark_cascaded_chunked.cu:38-80``):
 ``-r`` num_RLEs, ``-d`` num_deltas, ``-b`` use_bp, ``-t`` data type —
 defaults ``{2, 1, 1, uint}`` like ``nvcompBatchedCascadedDefaultOpts``.
 """
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import argparse
 import sys
 

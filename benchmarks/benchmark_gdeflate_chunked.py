@@ -4,6 +4,8 @@
 Per-format flag: ``-a/--algorithm`` — 0 high-throughput, 1 high-compression,
 2 entropy-only (``benchmark_gdeflate_chunked.cu:42,55-58``).
 """
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import argparse
 import sys
 

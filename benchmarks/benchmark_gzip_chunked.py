@@ -5,6 +5,8 @@ Gzip provides decompression only (``README.md:16``): the harness stages
 zlib-gzip-compressed inputs host-side and times the decode path; compression
 throughput is reported as 0.
 """
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import sys
 
 from tpucomp.bench import main_template

@@ -2,6 +2,8 @@
 """High-level-interface benchmark across formats (analog of
 ``benchmarks/benchmark_hlif.cpp``: all managers, warmup, averaged GB/s,
 memory-fit check)."""
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import argparse
 import sys
 import time

@@ -5,6 +5,8 @@ Per-format flag: ``-t/--type`` — the ``nvcompBatchedLZ4Opts_t.data_type``
 hint (``benchmark_lz4_chunked.cu:38-43``); chunk bytes must be a multiple of
 the type size (``:48-84`` validator, enforced by tpucomp.batched).
 """
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import argparse
 import sys
 

@@ -4,6 +4,8 @@
 ``nvcompBatchedSnappyOpts_t`` is empty (benchmark_snappy_chunked.cu:31-36) — no per-format
 flags; rejects any unknown arguments like the reference parser does.
 """
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import sys
 
 from tpucomp.bench import main_template

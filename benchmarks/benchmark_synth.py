@@ -2,6 +2,8 @@
 """Synthetic-distribution benchmark (analog of ``benchmark_lz4_synth.cpp`` /
 ``benchmark_snappy_synth.cpp``): all-zeros and uniform-random size ladders plus
 ``max_byte`` entropy-knob batches of 64 KiB chunks)."""
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import argparse
 
 

@@ -4,6 +4,8 @@
 ``nvcompBatchedZstdOpts_t`` is empty (benchmark_zstd_chunked.cu:31,54-56) — no per-format
 flags; rejects any unknown arguments like the reference parser does.
 """
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
+
 import sys
 
 from tpucomp.bench import main_template

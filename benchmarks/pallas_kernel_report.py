@@ -11,7 +11,10 @@ checksum readback).  Encoders likewise (verified by the CPU oracle).
 
 Usage:  python benchmarks/pallas_kernel_report.py [--mb 4] [--chunk-kb 64]
 """
+
 from __future__ import annotations
+
+import _bootstrap  # noqa: F401  (repo-root sys.path fix for direct runs)
 
 import argparse
 import functools
