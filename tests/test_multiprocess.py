@@ -67,6 +67,11 @@ def test_two_process_compressed_all_gather(tmp_path):
     script.write_text(WORKER)
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    # the worker script lives in tmp_path, so the repo root must be put on
+    # sys.path explicitly (cwd alone is not added for script-by-path runs)
+    repo = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
     procs = [subprocess.Popen([sys.executable, str(script), str(i), str(port)],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               env=env, cwd=str(Path(__file__).parent.parent))

@@ -39,15 +39,16 @@ def _lanes():
     return jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
 
 
-def window128(ref, pos):
+def window128(ref, pos, c=0):
     """Load the 128 bytes starting at byte ``pos`` as an int32 ``(1, 128)`` row.
 
-    ``ref`` is ``(1, rows, 128)`` int32 (one byte per lane).  Reads rows
-    ``pos>>7`` and ``pos>>7 + 1``; caller guarantees both exist.
+    ``ref`` is ``(C, rows, 128)`` int32 (one byte per lane; ``c`` — a static
+    index — selects the leading block, default 0).  Reads rows ``pos>>7`` and
+    ``pos>>7 + 1``; caller guarantees both exist.
     """
     r = pos >> 7
     so = pos & (BLK - 1)
-    rows = ref[0, pl.ds(r, 2), :]
+    rows = ref[c, pl.ds(r, 2), :]
     # jnp.int32 divisor: a bare Python 128 becomes an i64 constant under the
     # package-wide x64 mode, and Mosaic cannot lower i64 (its i64->i32 cast
     # helper recurses infinitely).
@@ -57,22 +58,22 @@ def window128(ref, pos):
     return jnp.where(_lanes() < BLK - so, a, b)
 
 
-def store128_wild(ref, pos, v):
+def store128_wild(ref, pos, v, c=0):
     """Store 128 bytes ``v`` (``(1,128)`` int32) at byte ``pos``, wild.
 
     Bytes before ``pos`` in the first row are preserved (read-modify-write
     blend — safe: a Pallas program is single-threaded).  The second row is
     written in full; its lanes beyond the 128 copied bytes receive junk that
     lies strictly after ``pos+127`` and will be overwritten by later stores or
-    masked off by the caller.
+    masked off by the caller.  ``c`` (static) selects the leading block.
     """
     r = pos >> 7
     o = pos & (BLK - 1)
     w = pltpu.roll(v, o, axis=1)  # w[l] = v[(l - o) % 128]
     lanes = _lanes()
-    old = ref[0, pl.ds(r, 1), :]
-    ref[0, pl.ds(r, 1), :] = jnp.where(lanes >= o, w, old)
-    ref[0, pl.ds(r + 1, 1), :] = w
+    old = ref[c, pl.ds(r, 1), :]
+    ref[c, pl.ds(r, 1), :] = jnp.where(lanes >= o, w, old)
+    ref[c, pl.ds(r + 1, 1), :] = w
 
 
 def store128_masked(ref, pos, v, n):
@@ -92,16 +93,16 @@ def store128_masked(ref, pos, v, n):
     ref[0, pl.ds(r + 1, 1), :] = jnp.where(m1, w, old1)
 
 
-def copy_bytes(src_ref, dst_ref, src, dst, n):
+def copy_bytes(src_ref, dst_ref, src, dst, n, c_src=0, c_dst=0):
     """Copy ``n`` bytes from ``src_ref@src`` to ``dst_ref@dst`` in 128-byte
-    wild blocks.  If ``src_ref is dst_ref`` and more than one block is copied,
-    requires ``dst - src >= BLK`` (each block's reads then stay strictly below
-    the write frontier)."""
+    wild blocks.  If ``src_ref is dst_ref`` (same leading block) and more than
+    one block is copied, requires ``dst - src >= BLK`` (each block's reads
+    then stay strictly below the write frontier)."""
     nb = (n + BLK - 1) >> 7
 
     def body(k, carry):
-        v = window128(src_ref, src + k * BLK)
-        store128_wild(dst_ref, dst + k * BLK, v)
+        v = window128(src_ref, src + k * BLK, c_src)
+        store128_wild(dst_ref, dst + k * BLK, v, c_dst)
         return carry
 
     # int32 carry/bounds throughout: the package enables jax x64, and a bare
@@ -110,7 +111,7 @@ def copy_bytes(src_ref, dst_ref, src, dst, n):
     jax.lax.fori_loop(jnp.int32(0), nb, body, jnp.int32(0), unroll=False)
 
 
-def copy_pattern(ref, op, offset, n):
+def copy_pattern(ref, op, offset, n, c=0):
     """Self-overlapping LZ77 match copy: write ``n`` bytes at ``op`` replicating
     the period-``offset`` pattern that ends at ``op`` (``0 < offset < BLK``).
 
@@ -124,7 +125,7 @@ def copy_pattern(ref, op, offset, n):
     multi-block precondition of :func:`copy_bytes` holds.
     """
     lanes = _lanes()
-    p = window128(ref, op - offset)  # lanes [0, offset) valid
+    p = window128(ref, op - offset, c)  # lanes [0, offset) valid
 
     def amp_cond(s):
         return s[1] < BLK
@@ -136,13 +137,14 @@ def copy_pattern(ref, op, offset, n):
         return jnp.where(lanes < v, p, pltpu.roll(p, v, axis=1)), v * 2
 
     p, _ = jax.lax.while_loop(amp_cond, amp_body, (p, offset))
-    store128_wild(ref, op, p)
+    store128_wild(ref, op, p, c)
 
     written = jnp.minimum(jnp.int32(BLK), n)
     d = ((BLK + offset - 1) // offset) * offset
     remaining = n - written
     jax.lax.cond(
         remaining > 0,
-        lambda: copy_bytes(ref, ref, op + written - d, op + written, remaining),
+        lambda: copy_bytes(ref, ref, op + written - d, op + written,
+                           remaining, c, c),
         lambda: None,
     )

@@ -153,13 +153,14 @@ def _parse_kernel(R_cap: int, max_dw: int,
             sp = sp + rank[0, V - 1] + need.astype(jnp.int32)[0, V - 1]
             return lo, hi, nb, taken, sp
 
-        # field 1: lit/len symbol
+        # field 1: lit/len symbol.  err stays a (1, V) int32 vector — Mosaic
+        # cannot squeeze sub-32-bit reductions to scalars, and deferring the
+        # reduction to one max() after the loop is cheaper anyway.
         lo, hi, nb, taken, sp = refill(lo, hi, nb, taken, sp)
         sym, l1, ok1 = decode_sym(lo, ltab, lsor_ref[0], iota_288)
-        err = jnp.logical_or(err, jnp.any(jnp.logical_and(
-            act, jnp.logical_not(ok1))))
-        err = jnp.logical_or(err, jnp.any(jnp.logical_and(act, sym == 256)))
-        err = jnp.logical_or(err, jnp.any(jnp.logical_and(act, sym > 285)))
+        err = err | jnp.logical_and(act, jnp.logical_not(ok1)).astype(jnp.int32)
+        err = err | jnp.logical_and(act, sym == 256).astype(jnp.int32)
+        err = err | jnp.logical_and(act, sym > 285).astype(jnp.int32)
         lo, hi, nb = consume(lo, hi, nb, jnp.where(act, l1, 0))
         is_m = jnp.logical_and(act, sym >= 257)
         li = jnp.clip(sym - 257, 0, 28)
@@ -180,8 +181,8 @@ def _parse_kernel(R_cap: int, max_dw: int,
         # field 3: distance symbol
         lo, hi, nb, taken, sp = refill(lo, hi, nb, taken, sp)
         dsym, l3, ok3 = decode_sym(lo, dtab, dsor_ref[0], iota_32)
-        err = jnp.logical_or(err, jnp.any(jnp.logical_and(
-            is_m, jnp.logical_not(ok3))))
+        err = err | jnp.logical_and(is_m, jnp.logical_not(ok3)).astype(
+            jnp.int32)
         lo, hi, nb = consume(lo, hi, nb, jnp.where(is_m, l3, 0))
         dsym = jnp.clip(dsym, 0, 31)
 
@@ -208,12 +209,13 @@ def _parse_kernel(R_cap: int, max_dw: int,
     z = jnp.zeros((1, V), jnp.int32)
     lo, hi, nb, taken, sp, err = jax.lax.fori_loop(
         jnp.int32(0), jnp.minimum(rounds, jnp.int32(R_cap)), rbody,
-        (z, z, z, z, jnp.int32(0), jnp.bool_(False)))
+        (z, z, z, z, jnp.int32(0), z))
     sp_ref[b] = sp
     # bit 0: scan-level code error; bit 1: lane word counts not consumed
     # exactly (an ok-level condition in the XLA composition, not an err)
-    taken_bad = jnp.any(jnp.logical_and(lane < N_LANES, taken != D))
-    err_ref[b] = err.astype(jnp.int32) | (taken_bad.astype(jnp.int32) << 1)
+    taken_bad = jnp.max(jnp.logical_and(lane < N_LANES,
+                                        taken != D).astype(jnp.int32))
+    err_ref[b] = jnp.minimum(jnp.max(err), 1) | (taken_bad << 1)
 
 
 # =========================================================================
@@ -241,16 +243,16 @@ def _exec_kernel(out_cap: int, n_slabs: int,
 
     def wbody(st):
         i, op, err = st
-        tok = tok_ref[0, i]
+        tok = tok_ref[0, 0, i]
         is_m = tok >= MATCH_FLAG
 
         def lit(a):
             i, op, err = a
             # literal-run batching: entropy-only tiles are ALL literals, so
             # compose four per wild store when the next three are literal too
-            t1 = tok_ref[0, jnp.minimum(i + 1, jnp.int32(SLAB - 1))]
-            t2 = tok_ref[0, jnp.minimum(i + 2, jnp.int32(SLAB - 1))]
-            t3 = tok_ref[0, jnp.minimum(i + 3, jnp.int32(SLAB - 1))]
+            t1 = tok_ref[0, 0, jnp.minimum(i + 1, jnp.int32(SLAB - 1))]
+            t2 = tok_ref[0, 0, jnp.minimum(i + 2, jnp.int32(SLAB - 1))]
+            t3 = tok_ref[0, 0, jnp.minimum(i + 3, jnp.int32(SLAB - 1))]
             four = jnp.logical_and(i + 4 <= count, op + 4 <= out_cap)
             four = jnp.logical_and(four, t1 < MATCH_FLAG)
             four = jnp.logical_and(four, t2 < MATCH_FLAG)
@@ -389,11 +391,15 @@ def decompress_batch(comp: jax.Array, comp_sizes: jax.Array, out_cap: int,
     scan_err = (perr & 1) != 0
     taken_ok = (perr & 2) == 0
 
-    # dense token stream for the executor: 32 valid lanes per round
+    # dense token stream for the executor: 32 valid lanes per round.  The
+    # singleton middle axis keeps the Mosaic block-shape rule satisfied for
+    # the (1, 1, SLAB) SMEM slab blocks (last two dims must be divisible by
+    # (8, 128) or equal the array dims).
     n_slabs = max(1, -(-n_tok_cap // SLAB))
     tok_dense = toks[:, :, :N_LANES].reshape(B, R_cap * N_LANES)
     tok_dense = jnp.pad(tok_dense,
                         ((0, 0), (0, n_slabs * SLAB - R_cap * N_LANES)))
+    tok_dense = tok_dense.reshape(B, 1, n_slabs * SLAB)
 
     hdr2 = jnp.stack([
         n_tok_eff, jnp.zeros((B,), jnp.int32), raw,
@@ -406,7 +412,7 @@ def decompress_batch(comp: jax.Array, comp_sizes: jax.Array, out_cap: int,
             grid=(B, n_slabs),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # hdr2 (B, 4)
-                pl.BlockSpec((1, SLAB), lambda i, s: (i, s),
+                pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
                              memory_space=pltpu.SMEM),   # tokens slab
             ],
             out_specs=[
