@@ -46,3 +46,30 @@ def test_get_decompress_size_generic():
 def test_unknown_format_raises():
     with pytest.raises(ValueError):
         batched.compress_get_max_output_chunk_size("nope", 100)
+
+
+def test_bench_harness_backend_symmetry(monkeypatch):
+    """run_benchmark must resolve BOTH paths through the backend dispatch —
+    the timed compress column measures the product encoder, not a hard-coded
+    spec.compress_batch (the encode analog of _decode_fn resolution)."""
+    from tpucomp import bench
+    from tpucomp.ops import pallas as pk
+
+    calls = {"enc": 0, "dec": 0}
+    real_enc, real_dec = pk.PALLAS_ENCODERS["lz4"], pk.PALLAS_DECODERS["lz4"]
+
+    def spy_enc(data, sizes, opts, out_cap):
+        calls["enc"] += 1
+        return real_enc(data, sizes, opts, out_cap)
+
+    def spy_dec(comp, csz, out_cap):
+        calls["dec"] += 1
+        return real_dec(comp, csz, out_cap)
+
+    monkeypatch.setitem(pk.PALLAS_ENCODERS, "lz4", spy_enc)
+    monkeypatch.setitem(pk.PALLAS_DECODERS, "lz4", spy_dec)
+    chunks = [synth.mixed_corpus(2048, seed=3).tobytes() for _ in range(2)]
+    res = bench.run_benchmark("lz4", chunks, iterations=1, warmup=1,
+                              backend="pallas")
+    assert calls["enc"] >= 1 and calls["dec"] >= 1
+    assert res.compress_gbs > 0 and res.decompress_gbs > 0

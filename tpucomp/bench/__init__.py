@@ -72,22 +72,36 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
                   verify: bool = True, backend: str = "auto") -> BenchResult:
     """Chunked round-trip benchmark of one format over pre-split chunks.
 
-    ``backend`` selects the decode path (auto = Pallas kernel on TPU when the
-    format has one; see :func:`tpucomp.batched.decompress`).
+    ``backend`` selects BOTH the decode and the encode path (auto = Pallas
+    kernel on TPU when the format has one; see
+    :func:`tpucomp.batched.decompress` / :func:`tpucomp.batched.compress`), so
+    the timed compress column measures the same product path the batched API
+    dispatches to — the reference benchmarks likewise time the library's own
+    kernels (``benchmark_template_chunked.cuh:420-530``).  Formats without a
+    Pallas encoder fall back to the XLA encoder under ``auto``.
     """
     import jax
     from tpucomp.utils import honor_jax_platforms_env
     honor_jax_platforms_env()
     from tpucomp import batched
+    from tpucomp.ops import pallas as pk
 
     if duplicate_count:
         data_chunks = list(data_chunks) * (1 + duplicate_count)
     spec = batched._get(fmt)
     decode = batched._decode_fn(fmt, spec, backend)
+    enc_backend = backend
+    if backend == "pallas" and fmt not in pk.PALLAS_ENCODERS:
+        enc_backend = "xla"  # decode-focused explicit request; encode stages
+    encode = (None if spec.decompression_only
+              else batched._encode_fn(fmt, spec, enc_backend))
     opts = opts if opts is not None else spec.default_opts
     max_chunk = max((len(c) for c in data_chunks), default=1)
     max_chunk = max(max_chunk, 1)
     cb = ChunkBatch.from_chunks(data_chunks, max_chunk_bytes=max_chunk)
+    max_chunk = cb.max_chunk_bytes  # slot-aligned (8 B) — the decode out_cap
+    # must match the staged batch width or the byte-exact verify below
+    # compares differently-shaped arrays
     cap = spec.max_compressed_chunk_size(max_chunk, opts)
     total_bytes = int(np.asarray(cb.total_bytes))
 
@@ -105,7 +119,7 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
         t_cc = 0.0
     else:
         t0 = time.time()
-        comp, csz, cst = spec.compress_batch(data, sizes, opts, cap)
+        comp, csz, cst = encode(data, sizes, opts, cap)
         jax.block_until_ready(comp)
         t_cc = time.time() - t0
     assert int(np.asarray(cst).max()) == Status.SUCCESS, \
@@ -155,9 +169,9 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
     if spec.decompression_only:
         ct = float("inf")
     else:
-        comp_loop = chained(lambda d, s: spec.compress_batch(d, s, opts, cap))
+        comp_loop = chained(lambda d, s: encode(d, s, opts, cap))
         for _ in range(max(warmup - 1, 0)):
-            jax.block_until_ready(spec.compress_batch(data, sizes, opts, cap))
+            jax.block_until_ready(encode(data, sizes, opts, cap))
         ct = timed(comp_loop, data, sizes, K)
     dt = timed(dec_loop, comp, csz, K)
 
