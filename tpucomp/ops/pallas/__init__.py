@@ -38,12 +38,17 @@ from __future__ import annotations
 
 def _lz4_decompress_batch(comp, comp_sizes, out_cap):
     import jax
-    from tpucomp.ops.pallas import lz4_decode
+    # the two-chunk interleaved kernel measures faster on silicon on both
+    # corpora (results/kernels_*_20260819: 0.269 vs 0.220 GB/s mixed, 0.747
+    # vs 0.713 mortgage) — overlapping token-walk load chains fill the
+    # in-order scalar core's latency bubbles.  lz4_decode stays as the
+    # single-chunk reference implementation.
+    from tpucomp.ops.pallas import lz4_decode2
     # Mosaic compiles on TPU only; elsewhere (CPU test meshes) run the kernel
     # in the Pallas interpreter so the same code path stays testable hermetically
     interpret = jax.default_backend() != "tpu"
-    return lz4_decode.decompress_batch(comp, comp_sizes, out_cap,
-                                       interpret=interpret)
+    return lz4_decode2.decompress_batch(comp, comp_sizes, out_cap,
+                                        interpret=interpret)
 
 
 def _snappy_decompress_batch(comp, comp_sizes, out_cap):
@@ -72,13 +77,16 @@ def _deflate_decompress_batch(comp, comp_sizes, out_cap):
 
 def _gdeflate_decompress_batch(comp, comp_sizes, out_cap):
     import jax
-    # the vectorized parse + slab executor is the product path (the SIMD
-    # shape the tile format was designed for); the serial replay kernel in
-    # gdeflate_decode remains as the reference implementation
-    from tpucomp.ops.pallas import gdeflate_vdecode
+    # measured on silicon (results/kernels_*_20260819): the serial replay
+    # kernel beats the vectorized 32-lane parse 4x on the mixed corpus
+    # (0.112 vs 0.027 GB/s) and ties on mortgage (0.541 vs 0.536) — the
+    # per-round refill matmuls + 15 unrolled canonical-range compares cost
+    # more than the token walk they replace.  Dispatch follows the
+    # measurement; gdeflate_vdecode stays as the vector-parse testbed.
+    from tpucomp.ops.pallas import gdeflate_decode
     interpret = jax.default_backend() != "tpu"
-    return gdeflate_vdecode.decompress_batch(comp, comp_sizes, out_cap,
-                                             interpret=interpret)
+    return gdeflate_decode.decompress_batch(comp, comp_sizes, out_cap,
+                                            interpret=interpret)
 
 
 def _zstd_decompress_batch(comp, comp_sizes, out_cap):
