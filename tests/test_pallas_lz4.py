@@ -249,3 +249,87 @@ def test_pair_decoder_matches_single_everywhere():
     assert (a[2] == b[2]).all(), (a[2], b[2])
     assert (a[1] == b[1]).all()
     assert (a[0] == b[0]).all()
+
+
+# ---------------------------------------------------------------------------
+# sort-matched encoder v2 (lz4_encode2 — the product encode path)
+# ---------------------------------------------------------------------------
+
+def _encode2(chunks, out_cap=None):
+    from tpucomp.ops.pallas import lz4_encode2
+    cb = ChunkBatch.from_chunks(chunks)
+    cap = out_cap or (cb.max_chunk_bytes + cb.max_chunk_bytes // 255 + 16)
+    out, osz, stat = lz4_encode2.compress_batch(
+        cb.data, cb.sizes, cap, interpret=True)
+    return map(np.asarray, (out, osz, stat))
+
+
+@pytest.mark.skipif(not interop.available().get("lz4"), reason="no liblz4")
+def test_encode2_liblz4_bit_exact():
+    rng = np.random.default_rng(7)
+    chunks = [
+        synth.mixed_corpus(65536, seed=1).tobytes(),
+        synth.mortgage_like(65536, seed=2).tobytes(),
+        b"\x00" * 65536,                                   # long self-match
+        bytes(rng.integers(0, 256, 65536, dtype=np.uint8)),  # incompressible
+        b"abcabcab",                                       # tiny, matchable
+        b"Z" * 13,                                         # boundary at MF_LIMIT+1
+        b"hi",                                             # all-literal tiny
+    ]
+    out, osz, stat = _encode2(chunks)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        got = interop.lz4_decompress(out[i, :osz[i]].tobytes(), len(c))
+        assert got == c, f"chunk {i}"
+
+
+@pytest.mark.skipif(not interop.available().get("lz4"), reason="no liblz4")
+def test_encode2_heterogeneous_batch_and_ratio():
+    buf = synth.mixed_corpus(1 << 18, seed=9).tobytes()
+    chunks = [buf[:65536], buf[65536:65536 + 5000], buf[70536:70536 + 64],
+              buf[70600:70600 + 65536]]
+    out, osz, stat = _encode2(chunks)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert interop.lz4_decompress(out[i, :osz[i]].tobytes(), len(c)) == c
+    # v2's nearest-exact-match parse must not lose to the v1 hash table
+    # (nearest is not always the longest candidate, so allow sub-percent
+    # per-batch noise; corpus-level v2 wins: 2.62 vs 2.48 on mixed 8 MiB)
+    cb = ChunkBatch.from_chunks(chunks)
+    cap = cb.max_chunk_bytes + cb.max_chunk_bytes // 255 + 16
+    v1, v1sz, _ = map(np.asarray, lz4_encode.compress_batch(
+        cb.data, cb.sizes, cap, interpret=True))
+    assert osz.sum() <= v1sz.sum() * 1.01
+
+
+def test_encode2_decodes_on_pallas_and_xla_paths():
+    buf = synth.mixed_corpus(100_000, seed=4).tobytes()
+    chunks = [buf[o:o + 32768] for o in range(0, len(buf), 32768)]
+    out, osz, stat = _encode2(chunks)
+    assert (stat == Status.SUCCESS).all()
+    dec, dsz, dst = _decode([out[i, :osz[i]].tobytes()
+                             for i in range(len(chunks))], 32768)
+    assert (np.asarray(dst) == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert dec[i, :len(c)].tobytes() == c
+    from tpucomp.formats import lz4 as flz4
+    cb = ChunkBatch.from_chunks([out[i, :osz[i]].tobytes()
+                                 for i in range(len(chunks))])
+    xo, xs, xst = map(np.asarray, flz4.decompress_batch(
+        cb.data, cb.sizes, 32768))
+    assert (xst == Status.SUCCESS).all()
+
+
+def test_encode2_output_buffer_too_small():
+    chunks = [bytes(np.random.default_rng(0).integers(
+        0, 256, 4096, dtype=np.uint8))]
+    out, osz, stat = _encode2(chunks, out_cap=128)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0
+
+
+def test_encode2_zero_byte_chunk():
+    out, osz, stat = _encode2([b"", b"abcdabcdabcdabcd"])
+    assert (stat == Status.SUCCESS).all()
+    assert interop.lz4_decompress(out[1, :osz[1]].tobytes(), 16) \
+        == b"abcdabcdabcdabcd"

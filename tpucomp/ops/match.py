@@ -1,0 +1,88 @@
+"""Vector match-finding for the LZ-family encoders (XLA, sort-based).
+
+The reference's compress kernels find matches with per-threadblock hash
+tables (``doc/algorithms_overview.md:50-52``).  A hash table is the wrong
+shape for a TPU: the probe is a serial chain of dependent scalar loads, and
+scatter-updates are dead in XLA.  The TPU-native equivalent is a *sort*:
+
+1. form the 4-byte word starting at every position (shifted byte views),
+2. stable-sort ``(word, position)`` — equal words become adjacent with
+   positions ascending, so each element's predecessor under the same word is
+   exactly "the nearest previous occurrence of these 4 bytes": what a
+   collision-free, infinite-depth hash table would return,
+3. un-sort (a second stable sort, keyed by position) to get a per-position
+   candidate array, and
+4. a suffix-min scan for ``next_match[p]`` — the first position >= p that
+   has a candidate — so the serial emission kernel can jump literal runs in
+   O(1) instead of stepping byte-by-byte.
+
+Every candidate is *guaranteed* a >=4-byte match (exact equality, not a
+hash), so the emitter never needs a verify load.  ``lax.sort`` lowers to a
+vectorized sorting network on TPU (~2 ms for 64x64 KiB measured — see
+PERF_MODEL.md), which makes this pass ~the cost of three HBM sweeps.
+
+Used by the Pallas encoders (LZ4/Snappy token emission, Deflate/GDeflate
+fixed-Huffman emission); the XLA log-depth encoders in
+:mod:`tpucomp.formats` remain the portable path.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+MIN_MATCH = 4
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def candidates(data: jax.Array, sizes: jax.Array, window: int = 65535):
+    """Per-position match candidates for a batch of chunks.
+
+    Args:
+      data:  ``uint8[B, cap]`` chunk payloads (padded).
+      sizes: ``int32[B]`` valid byte counts.
+      window: maximum backward offset (65535 for LZ4's 16-bit offsets and
+        the GDeflate/Deflate 64 KiB window).
+
+    Returns:
+      ``(cand, nxt)`` — ``cand: int32[B, cap]`` is the nearest previous
+      position whose 4 starting bytes equal position ``p``'s (-1 if none
+      within ``window`` / validity limits); ``nxt: int32[B, cap]`` is the
+      smallest position ``q >= p`` with ``cand[q] >= 0`` (``cap`` if none).
+    """
+    B, cap = data.shape
+    sizes = sizes.astype(jnp.int32)
+    x = data.astype(jnp.int32)
+
+    def shift(k):  # bytes at p+k, zero past the end
+        return jnp.pad(x, ((0, 0), (0, k)))[:, k:k + cap]
+
+    word = x | (shift(1) << 8) | (shift(2) << 16) | (shift(3) << 24)
+    pos = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32)[None], (B, cap))
+
+    # a position is a valid match SOURCE/TARGET only while 4 real bytes
+    # remain (per-chunk; padding positions sort wherever — filtered below)
+    valid = pos <= (sizes[:, None] - MIN_MATCH)
+
+    sw, sp = jax.lax.sort((word, pos), dimension=1, is_stable=True,
+                          num_keys=1)
+    first = jnp.arange(cap, dtype=jnp.int32)[None] == 0
+    same = jnp.logical_and(sw == jnp.roll(sw, 1, axis=1),
+                           jnp.logical_not(first))
+    prev = jnp.roll(sp, 1, axis=1)
+    sv = sp <= (sizes[:, None] - MIN_MATCH)
+    good = jnp.logical_and(same, jnp.logical_and(sv, jnp.roll(sv, 1, axis=1)))
+    cand_sorted = jnp.where(good, prev, -1)
+
+    # un-sort: key by position (already a permutation, so stability moot)
+    _, cand = jax.lax.sort((sp, cand_sorted), dimension=1, num_keys=1)
+
+    cand = jnp.where(pos - cand <= window, cand, -1)
+    cand = jnp.where(valid, cand, -1)
+
+    # next_match: suffix min of (p where cand valid else cap)
+    marked = jnp.where(cand >= 0, pos, jnp.int32(cap))
+    nxt = jax.lax.associative_scan(jnp.minimum, marked[:, ::-1],
+                                   axis=1)[:, ::-1]
+    return cand, nxt

@@ -131,11 +131,16 @@ def _gzip_decompress_batch(comp, comp_sizes, out_cap):
 
 def _lz4_compress_batch(data, sizes, opts, out_cap):
     import jax
-    from tpucomp.ops.pallas import lz4_encode
-    # opts carries the data-type hint; the SMEM hash probe is byte-granular so
-    # the hint is accepted and ignored (output is valid for every type)
+    # sort-matched v2: the XLA candidate pass replaces the scalar hash-table
+    # probe chain; measured 0.206 vs 0.028 GB/s mixed on silicon with better
+    # ratio (2.64 vs 2.48).  v1 (lz4_encode) stays as the self-contained
+    # single-kernel variant.  opts carries the data-type hint; matching is
+    # byte-granular so the hint is accepted and ignored (output is valid for
+    # every type).
+    from tpucomp.ops.pallas import lz4_encode2
     interpret = jax.default_backend() != "tpu"
-    return lz4_encode.compress_batch(data, sizes, out_cap, interpret=interpret)
+    return lz4_encode2.compress_batch(data, sizes, out_cap,
+                                      interpret=interpret)
 
 
 PALLAS_DECODERS = {
