@@ -169,3 +169,78 @@ def test_gzip_backend_bit_exact_and_statuses():
         assert p[0][i, :len(r)].tobytes() == r
     assert p[2][3] == Status.ERROR_CANNOT_DECOMPRESS
     assert p[2][4] == Status.ERROR_CANNOT_DECOMPRESS
+
+
+# ---------------------------------------------------------------------------
+# fixed-Huffman encoder (deflate_encode — the TPU-side compress path)
+# ---------------------------------------------------------------------------
+
+def _encode(chunks, out_cap=None):
+    from tpucomp.ops.pallas import deflate_encode
+    cb = ChunkBatch.from_chunks(chunks)
+    cap = out_cap or fdeflate.max_compressed_chunk_size(cb.max_chunk_bytes)
+    out, osz, stat = deflate_encode.compress_batch(
+        cb.data, cb.sizes, cap, interpret=True)
+    return map(np.asarray, (out, osz, stat))
+
+
+def test_encode_zlib_inflates_bit_exact():
+    rng = np.random.default_rng(11)
+    chunks = [
+        synth.mixed_corpus(65536, seed=1).tobytes(),
+        synth.mortgage_like(65536, seed=2).tobytes(),
+        bytes(rng.integers(0, 256, 65536, dtype=np.uint8)),  # stored rewrite
+        b"\x00" * 65536,                                     # max-len matches
+        b"abcabcabcabcabcabcab",
+        b"x",
+        b"",
+    ]
+    out, osz, stat = _encode(chunks)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert zlib.decompress(out[i, :osz[i]].tobytes(), -15) == c, i
+
+
+def test_encode_own_decoders_roundtrip():
+    buf = synth.mixed_corpus(1 << 17, seed=9).tobytes()
+    chunks = [buf[o:o + 32768] for o in range(0, len(buf), 32768)]
+    out, osz, stat = _encode(chunks)
+    assert (stat == Status.SUCCESS).all()
+    comp = [out[i, :osz[i]].tobytes() for i in range(len(chunks))]
+    dec, dsz, dst = _decode(comp, 32768)
+    assert (dst == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert dec[i, :len(c)].tobytes() == c
+    cb = ChunkBatch.from_chunks(comp)
+    xo, xs, xst = map(np.asarray,
+                      fdeflate.decompress_batch(cb.data, cb.sizes, 32768))
+    assert (xst == Status.SUCCESS).all()
+
+
+def test_encode_libdeflate_oracle():
+    if not interop.available().get("libdeflate"):
+        pytest.skip("no libdeflate")
+    chunks = [synth.mixed_corpus(30000, seed=3).tobytes()]
+    out, osz, stat = _encode(chunks)
+    assert stat[0] == Status.SUCCESS
+    got = interop.libdeflate_decompress(out[0, :osz[0]].tobytes(),
+                                        len(chunks[0]))
+    assert got == chunks[0]
+
+
+def test_encode_stored_rewrite_bounds_expansion():
+    rng = np.random.default_rng(0)
+    raw = bytes(rng.integers(0, 256, 65536, dtype=np.uint8))
+    out, osz, stat = _encode([raw])
+    assert stat[0] == Status.SUCCESS
+    # stored blocks: 65536 bytes -> 2 blocks -> +10 bytes overhead max
+    assert osz[0] <= 65536 + 10
+    assert zlib.decompress(out[0, :osz[0]].tobytes(), -15) == raw
+
+
+def test_encode_output_buffer_too_small():
+    rng = np.random.default_rng(1)
+    raw = bytes(rng.integers(0, 256, 8192, dtype=np.uint8))
+    out, osz, stat = _encode([raw], out_cap=1024)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0

@@ -200,3 +200,65 @@ def test_encode_output_buffer_too_small():
     out, osz, stat = _encode([raw], out_cap=1024)
     assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
     assert osz[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# sort-matched encoder v2 (snappy_encode2 — the product encode path)
+# ---------------------------------------------------------------------------
+
+def _encode2(chunks, out_cap=None):
+    from tpucomp.ops.pallas import snappy_encode2
+    cb = ChunkBatch.from_chunks(chunks)
+    cap = out_cap or fsnappy.max_compressed_chunk_size(cb.max_chunk_bytes)
+    out, osz, stat = snappy_encode2.compress_batch(
+        cb.data, cb.sizes, cap, interpret=True)
+    return map(np.asarray, (out, osz, stat))
+
+
+@pytest.mark.skipif(not interop.available().get("snappy"),
+                    reason="no libsnappy")
+def test_encode2_libsnappy_bit_exact():
+    rng = np.random.default_rng(13)
+    chunks = [
+        synth.mixed_corpus(65536, seed=1).tobytes(),
+        synth.mortgage_like(65536, seed=2).tobytes(),
+        bytes(rng.integers(0, 256, 65536, dtype=np.uint8)),
+        b"\x00" * 65536,                     # long-match 64/60 split path
+        b"abcabcabcabcabcab",
+        b"y",
+        b"",
+    ]
+    out, osz, stat = _encode2(chunks)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert interop.snappy_decompress(out[i, :osz[i]].tobytes()) == c, i
+
+
+def test_encode2_own_decoder_roundtrip_and_ratio():
+    buf = synth.mixed_corpus(1 << 17, seed=21).tobytes()
+    chunks = [buf[o:o + 32768] for o in range(0, len(buf), 32768)]
+    out, osz, stat = _encode2(chunks)
+    assert (stat == Status.SUCCESS).all()
+    comp = [out[i, :osz[i]].tobytes() for i in range(len(chunks))]
+    cb = ChunkBatch.from_chunks(comp)
+    dec, dsz, dst = snappy_decode.decompress_batch(
+        cb.data, cb.sizes, 32768, interpret=True)
+    dec, dst = np.asarray(dec), np.asarray(dst)
+    assert (dst == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert dec[i, :len(c)].tobytes() == c
+    # corpus-level: v2 must be no worse than v1 + noise margin
+    from tpucomp.ops.pallas import snappy_encode
+    cbi = ChunkBatch.from_chunks(chunks)
+    cap = fsnappy.max_compressed_chunk_size(cbi.max_chunk_bytes)
+    _, v1sz, _ = map(np.asarray, snappy_encode.compress_batch(
+        cbi.data, cbi.sizes, cap, interpret=True))
+    assert osz.sum() <= v1sz.sum() * 1.01
+
+
+def test_encode2_output_buffer_too_small():
+    rng = np.random.default_rng(1)
+    raw = bytes(rng.integers(0, 256, 8192, dtype=np.uint8))
+    out, osz, stat = _encode2([raw], out_cap=512)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0

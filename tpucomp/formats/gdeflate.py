@@ -11,12 +11,25 @@ distance space extended to the 64 KiB page window.  This module implements
 exactly that architecture: 64 KiB tiles, round-robin token->lane assignment,
 32 lane bitstreams interleaved on demand at DWORD granularity by the decoder's
 refill schedule, RFC-1951 length codes plus a 32-entry distance table (codes
-30/31 reach 64 KiB).  NVIDIA's bit-identical placement is specified only by
-the closed ``libnvcomp_gdeflate_cpu.so`` (absent here), so the concrete bit
-layout is this project's — pinned by the independently-written serial Python
-reference codec (``tests/gdeflate_pyref.py``), which serves as the
-cross-implementation conformance oracle in both directions.  The full tile
-layout and refill schedule are documented in that file's module docstring.
+30/31 reach 64 KiB).
+
+**Bit-placement divergence (documented, deliberate).**  Public GDeflate
+implementations do exist outside this container — the DirectStorage SDK's
+reference codec and historical libdeflate forks — but none is present or
+vendorable here (verified: the system ``libdeflate.so`` exports no gdeflate
+symbols, no other candidate library ships in the image, and the container
+has no network).  The reference proves CPU<->GPU interop against NVIDIA's
+closed ``libnvcomp_gdeflate_cpu.so`` (``examples/gdeflate_cpu_compression
+.cu:66-72``); with no external implementation reachable, tile framing
+details that RFC-1951 does not pin (header fields, the lane-dword count
+table, the exact refill-schedule tie-break) follow this project's layout
+instead, specified normatively by ``tests/gdeflate_pyref.py`` — an
+independently-written serial Python codec that serves as the
+cross-implementation conformance oracle in both directions.  The entropy
+layer itself (codes, extra bits, LSB-first packing) is standard RFC-1951,
+so adapting the framing to an external implementation is localized to the
+tile header/interleave layer (:func:`tile_tables` + the pyref's
+``compress``), not the codecs.
 
 The encoder is fully vectorized (the refill schedule has a closed form:
 ``dwords_before_field = min(ceil((bit_prefix + 32)/32), lane_total)``); the

@@ -155,10 +155,12 @@ PALLAS_DECODERS = {
 
 def _snappy_compress_batch(data, sizes, opts, out_cap):
     import jax
-    from tpucomp.ops.pallas import snappy_encode
+    # sort-matched v2 (see _lz4_compress_batch); v1 (snappy_encode) stays as
+    # the self-contained single-kernel variant
+    from tpucomp.ops.pallas import snappy_encode2
     interpret = jax.default_backend() != "tpu"
-    return snappy_encode.compress_batch(data, sizes, out_cap,
-                                        interpret=interpret)
+    return snappy_encode2.compress_batch(data, sizes, out_cap,
+                                         interpret=interpret)
 
 
 def _ans_compress_batch(data, sizes, opts, out_cap):
@@ -169,8 +171,26 @@ def _ans_compress_batch(data, sizes, opts, out_cap):
                                      interpret=interpret)
 
 
+def _deflate_compress_batch(data, sizes, opts, out_cap):
+    import jax
+    # the kernel is the algo-0 rung of the reference ladder (fixed tables,
+    # benchmark_deflate_chunked.cu:42,55-58); algo 1/2 keep the XLA
+    # dynamic-Huffman encoder for their ratio semantics
+    algo = getattr(opts, "algo", 0) if opts is not None else 0
+    if algo != 0:
+        from tpucomp.formats import deflate as fdeflate
+        return fdeflate.compress_batch(
+            data, sizes, opts if opts is not None else fdeflate.DEFAULT_OPTS,
+            out_cap)
+    from tpucomp.ops.pallas import deflate_encode
+    interpret = jax.default_backend() != "tpu"
+    return deflate_encode.compress_batch(data, sizes, out_cap,
+                                         interpret=interpret)
+
+
 PALLAS_ENCODERS = {
     "lz4": _lz4_compress_batch,
     "snappy": _snappy_compress_batch,
     "ans": _ans_compress_batch,
+    "deflate": _deflate_compress_batch,
 }
