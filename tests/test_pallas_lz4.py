@@ -333,3 +333,26 @@ def test_encode2_zero_byte_chunk():
     assert (stat == Status.SUCCESS).all()
     assert interop.lz4_decompress(out[1, :osz[1]].tobytes(), 16) \
         == b"abcdabcdabcdabcd"
+
+
+def test_kway_decoder_matches_single():
+    from tpucomp.ops.pallas import lz4_decodek
+    buf = synth.mixed_corpus(200_000, seed=15).tobytes()
+    chunks = [buf[o:o + 32768] for o in range(0, len(buf), 32768)]  # 7 (odd)
+    comp = [interop.lz4_compress(c) for c in chunks]
+    ccb = ChunkBatch.from_chunks(comp)
+    for k in (2, 4):
+        o, sz, st = map(np.asarray, lz4_decodek.decompress_batch(
+            ccb.data, ccb.sizes, 32768, interpret=True, k=k))
+        assert (st == Status.SUCCESS).all()
+        for i, c in enumerate(chunks):
+            assert o[i, :len(c)].tobytes() == c, (k, i)
+    # corrupt chunk: per-chunk status, neighbors unaffected
+    bad = list(comp)
+    bad[3] = bad[3][:10]
+    bcb = ChunkBatch.from_chunks(bad)
+    o, sz, st = map(np.asarray, lz4_decodek.decompress_batch(
+        bcb.data, bcb.sizes, 32768, interpret=True, k=4))
+    assert st[3] == Status.ERROR_CANNOT_DECOMPRESS and sz[3] == 0
+    good = [i for i in range(len(chunks)) if i != 3]
+    assert (st[good] == Status.SUCCESS).all()
