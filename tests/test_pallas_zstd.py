@@ -124,11 +124,13 @@ def test_output_buffer_too_small():
 
 
 @pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
-def test_large_out_cap_falls_back_to_xla():
-    """The batched dispatch gates the kernel at 512 KiB out_cap (VMEM block
-    budget); bigger frames route to the XLA program transparently."""
+def test_vmem_gate_kernel_at_1mib_fallback_above():
+    """The batched dispatch gates the kernel on a VMEM-fit estimate: 1 MiB
+    chunks decode on the kernel (TPU-verified bit-exact vs zstd-6); frames
+    beyond the budget route to the XLA program transparently."""
     from tpucomp.ops import pallas as pk
-    buf = synth.mixed_corpus(700_000, seed=2).tobytes()
+    # 1 MiB: inside the gate -> kernel path (interpreter here)
+    buf = synth.mixed_corpus(1 << 20, seed=2).tobytes()
     comp = interop.zstd_compress(buf, level=3)
     cb = ChunkBatch.from_chunks([comp])
     out, osz, stat = map(np.asarray,
@@ -137,3 +139,12 @@ def test_large_out_cap_falls_back_to_xla():
     assert stat[0] == Status.SUCCESS
     assert osz[0] == len(buf)
     assert out[0, :len(buf)].tobytes() == buf
+    # 4 MiB out_cap: beyond the VMEM budget -> XLA fallback, same results
+    buf2 = synth.mixed_corpus(2 << 20, seed=3).tobytes()
+    comp2 = interop.zstd_compress(buf2, level=3)
+    cb2 = ChunkBatch.from_chunks([comp2])
+    out2, osz2, stat2 = map(np.asarray,
+                            pk.PALLAS_DECODERS["zstd"](cb2.data, cb2.sizes,
+                                                       4 << 20))
+    assert stat2[0] == Status.SUCCESS
+    assert out2[0, :len(buf2)].tobytes() == buf2

@@ -92,9 +92,15 @@ def _gdeflate_decompress_batch(comp, comp_sizes, out_cap):
 def _zstd_decompress_batch(comp, comp_sizes, out_cap):
     import jax
     from tpucomp.ops.pallas import zstd_decode
-    if out_cap > (1 << 19):
-        # the kernel's VMEM output block tops out around 512 KiB/chunk; the
-        # 16 MB-chunk regime falls back to the XLA program
+    # VMEM fit gate (v5e usable VMEM measured at 16-20 MiB; scratch probe in
+    # round-3 notes): per grid step the kernel holds the output block
+    # (4 B/lane x out_cap), the input byte lanes (4 B/lane x comp_cap), and
+    # the 512 KiB literal scratch, double-buffered across grid steps.  Chunks
+    # that fit decode on the kernel; the 16 MB regime still falls back to the
+    # XLA program pending the HBM-ring executor (STATUS known gap).
+    comp_cap = comp.shape[1]
+    vmem_est = 2 * 4 * (out_cap + comp_cap) + (1 << 21)
+    if vmem_est > 12 << 20:
         from tpucomp.formats import zstd as fzstd
         return fzstd.decompress_batch(comp, comp_sizes, out_cap)
     interpret = jax.default_backend() != "tpu"
