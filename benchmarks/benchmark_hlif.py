@@ -37,15 +37,21 @@ def main() -> None:
     for fmt in fmts:
         try:
             mgr = Manager(fmt, chunk_size=args.chunk_size)
+            frame = mgr.compress(data)          # warmup: compile + stage
             t0 = time.time()
-            frame = mgr.compress(data)
-            t_comp = time.time() - t0
+            for _ in range(args.iterations):
+                frame = mgr.compress(data)
+                jax.block_until_ready(frame)
+            t_comp = (time.time() - t0) / args.iterations
             mgr2 = create_manager(frame)
             cfg = mgr2.configure_decompression(frame)
-            t0 = time.time()
-            out = mgr2.decompress(frame, cfg)
+            out = mgr2.decompress(frame, cfg)   # warmup
             jax.block_until_ready(out)
-            t_dec = time.time() - t0
+            t0 = time.time()
+            for _ in range(args.iterations):
+                out = mgr2.decompress(frame, cfg)
+                jax.block_until_ready(out)
+            t_dec = (time.time() - t0) / args.iterations
             ok = bytes(np.asarray(out)) == data
             ratio = len(data) / int(frame.shape[0])
             print(f"{fmt:9s} ratio {ratio:6.2f}  compress {len(data)/t_comp/1e9:7.3f} GB/s"

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import functools
 from typing import Any
 
 import jax
@@ -166,6 +167,11 @@ class Manager:
         self.checksum_policy = ChecksumPolicy(checksum_policy)
         self._chunk_cap = self.spec.max_compressed_chunk_size(self.chunk_size,
                                                               self.opts)
+        # one jitted program per frame geometry: the whole frame path (encode
+        # + table/payload assembly, parse + decode + verify) runs as a single
+        # dispatch instead of dozens of eager ops (each a host round trip)
+        self._jit_comp: dict = {}
+        self._jit_dec: dict = {}
 
     # -- compression ------------------------------------------------------------------
 
@@ -191,10 +197,29 @@ class Manager:
         tlog.api_call(f"manager.{self.format}.compress", size=buf.size,
                       num_chunks=cfg.num_chunks)
         cb = ChunkBatch.from_bytes(buf.tobytes(), self.chunk_size)
-        frame, total = _compress_to_frame(
-            self.spec, self.format, self.opts, cb,
-            self.chunk_size, self._chunk_cap, self.checksum_policy,
-            cfg.max_compressed_buffer_size)
+
+        import struct
+        hdr = bytearray(HEADER_BYTES)
+        hdr[0:8] = MAGIC
+        struct.pack_into("<HH", hdr, 8, VERSION, FORMAT_IDS[self.format])
+        struct.pack_into("<I", hdr, 12, self.chunk_size)
+        struct.pack_into("<Q", hdr, 16, buf.size)
+        struct.pack_into("<II", hdr, 24, cfg.num_chunks,
+                         1 if self.checksum_policy.computes else 0)
+        hdr[40:56] = _opts_to_blob(self.format, self.opts)
+        hdr_u8 = jnp.asarray(np.frombuffer(bytes(hdr), np.uint8))
+
+        key = (cfg.num_chunks, cfg.max_compressed_buffer_size,
+               cb.max_chunk_bytes)
+        fn = self._jit_comp.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                _compress_to_frame, self.spec, self.format, self.opts,
+                n=cfg.num_chunks, chunk_size=self.chunk_size,
+                chunk_cap=self._chunk_cap, policy=self.checksum_policy,
+                out_cap=cfg.max_compressed_buffer_size))
+            self._jit_comp[key] = fn
+        frame, total = fn(cb.data, cb.sizes, hdr_u8)
         return frame[: int(total)]
 
     # -- decompression ----------------------------------------------------------------
@@ -211,9 +236,17 @@ class Manager:
         tlog.api_call(f"manager.{self.format}.decompress",
                       size=cfg.decomp_data_size, num_chunks=cfg.num_chunks)
         comp = _as_device_u8(comp)
-        out, status = _decompress_frame(
-            self.format, self.spec, comp, cfg.num_chunks, cfg.chunk_size,
-            bool(cfg.checksum_mode), self.checksum_policy, cfg.decomp_data_size)
+        key = (cfg.num_chunks, bool(cfg.checksum_mode),
+               cfg.decomp_data_size, comp.shape[0])
+        fn = self._jit_dec.get(key)
+        if fn is None:
+            fn = jax.jit(functools.partial(
+                _decompress_frame, self.format, self.spec,
+                n=cfg.num_chunks, chunk_size=cfg.chunk_size,
+                has_crc=bool(cfg.checksum_mode), policy=self.checksum_policy,
+                uncomp_size=cfg.decomp_data_size, chunk_cap=self._chunk_cap))
+            self._jit_dec[key] = fn
+        out, status = fn(comp)
         cfg._status = status
         return out
 
@@ -268,17 +301,21 @@ def _parse_header(comp) -> dict:
             "opts_blob": head[40:56]}
 
 
-def _compress_to_frame(spec, fmt: str, opts, cb: ChunkBatch, chunk_size: int,
-                       chunk_cap: int, policy: ChecksumPolicy, out_cap: int):
+def _compress_to_frame(spec, fmt: str, opts, data: jax.Array,
+                       sizes: jax.Array, hdr_u8: jax.Array, n: int,
+                       chunk_size: int, chunk_cap: int,
+                       policy: ChecksumPolicy, out_cap: int):
+    """Device side of Manager.compress: encode + frame assembly.  Pure traced
+    code (the Manager jits it once per (n, out_cap)); the header bytes arrive
+    host-composed except the u64 total at offset 32, patched here."""
     from tpucomp.formats import crc32 as c32
 
-    n = cb.num_chunks
     encode = _batched._encode_fn(fmt, spec, "auto")  # Pallas kernels on TPU
-    comp, csz, cst = encode(cb.data, cb.sizes, opts, chunk_cap)
+    comp, csz, cst = encode(data, sizes, opts, chunk_cap)
 
     store_crc = policy.computes
     if store_crc:
-        crc_u = c32.crc32_batch(cb.data, cb.sizes)
+        crc_u = c32.crc32_batch(data, sizes)
         crc_c = c32.crc32_batch(comp, csz)
     else:
         crc_u = crc_c = jnp.zeros((n,), jnp.uint32)
@@ -291,20 +328,9 @@ def _compress_to_frame(spec, fmt: str, opts, cb: ChunkBatch, chunk_size: int,
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(asz)[:-1].astype(jnp.int32)])
     total = payload_off0 + jnp.sum(asz)
 
-    # header (host-composed; sizes/crcs/payload are device-composed)
-    import struct
-    hdr = bytearray(HEADER_BYTES)
-    hdr[0:8] = MAGIC
-    struct.pack_into("<HH", hdr, 8, VERSION, FORMAT_IDS[fmt])
-    struct.pack_into("<I", hdr, 12, chunk_size)
-    struct.pack_into("<Q", hdr, 16, int(np.asarray(cb.total_bytes)))
-    struct.pack_into("<II", hdr, 24, n, 1 if store_crc else 0)
-    hdr[40:56] = _opts_to_blob(fmt, opts)
-    # total_compressed_size patched on device below (host doesn't know it yet)
-
     pos = jnp.arange(out_cap, dtype=jnp.int64)
     out = jnp.zeros((out_cap,), jnp.uint8)
-    out = out.at[:HEADER_BYTES].set(jnp.asarray(np.frombuffer(bytes(hdr), np.uint8)))
+    out = out.at[:HEADER_BYTES].set(hdr_u8)
     # patch u64 total at offset 32
     tot_bytes = ((total.astype(jnp.uint64)[None] >> (8 * jnp.arange(8, dtype=jnp.uint64)))
                  & 0xFF).astype(jnp.uint8)
@@ -320,23 +346,33 @@ def _compress_to_frame(spec, fmt: str, opts, cb: ChunkBatch, chunk_size: int,
         out = out.at[HEADER_BYTES + 4 * n:HEADER_BYTES + 8 * n].set(u32s_to_bytes(crc_u))
         out = out.at[HEADER_BYTES + 8 * n:HEADER_BYTES + 12 * n].set(u32s_to_bytes(crc_c))
 
-    # payload compaction: each output byte finds its chunk by searchsorted
-    seg_end = offs + asz
-    k = jnp.searchsorted(seg_end, pos, side="right").astype(jnp.int32)
-    kc = jnp.clip(k, 0, n - 1)
-    local = pos - offs[kc]
-    in_payload = jnp.logical_and(pos >= payload_off0, pos < total)
-    valid = jnp.logical_and(in_payload, local < csz[kc])
-    byte = comp[kc, jnp.clip(local, 0, chunk_cap - 1).astype(jnp.int32)]
-    out = jnp.where(valid, byte, out)
+    # payload compaction: one dynamic_update_slice per chunk — sequential
+    # block copies instead of the per-byte searchsorted+gather this used to
+    # do (XLA:TPU scalarizes gathers; measured 0.005 GB/s HLIF compress).
+    # Each row writes its full chunk_cap slot; bytes beyond asz[i] are the
+    # encoder's zero padding and land in later chunks' regions, which are
+    # rewritten by later iterations (offsets ascend), and a chunk_cap slack
+    # row absorbs the last chunk's overshoot.
+    chunk_cap_r = comp.shape[1]
+    padded = jnp.concatenate([out, jnp.zeros((chunk_cap_r,), jnp.uint8)])
+
+    def wr(i, o):
+        return jax.lax.dynamic_update_slice(o, comp[i], (offs[i],))
+
+    padded = jax.lax.fori_loop(0, n, wr, padded)
+    # re-assert the header/table region (a pathological offs[0] < payload
+    # region cannot occur by construction, but DUS clamping would silently
+    # corrupt it — keep the invariant explicit and cheap)
+    out = jnp.where(pos < payload_off0, out, padded[:out_cap])
     return out, total
 
 
 def _bucket_chunk_cap(raw: int) -> int:
-    """Round the data-dependent max-compressed-chunk size up to a power of two
-    (min 1 KiB) so the jitted frame-decompress program compiles O(log) times per
-    (format, chunk_size) instead of once per distinct data shape — the
-    recompile/sync-churn fix for the HLIF hot path."""
+    """Round a data-dependent max-compressed-chunk size up to a power of two
+    (min 1 KiB).  Historical note: the frame decompress path now slices at
+    the format's STATIC max chunk cap (no host sync, exactly one compiled
+    program per (format, chunk_size, opts)); this helper remains for callers
+    that stage their own data-dependent buffers."""
     cap = 1024
     while cap < raw:
         cap <<= 1
@@ -344,7 +380,8 @@ def _bucket_chunk_cap(raw: int) -> int:
 
 
 def _decompress_frame(fmt: str, spec, comp: jax.Array, n: int, chunk_size: int,
-                      has_crc: bool, policy: ChecksumPolicy, uncomp_size: int):
+                      has_crc: bool, policy: ChecksumPolicy, uncomp_size: int,
+                      chunk_cap: int):
     from tpucomp import batched as _batched
     from tpucomp.formats import crc32 as c32
     decode = _batched._decode_fn(fmt, spec, "auto")  # Pallas kernels on TPU
@@ -364,10 +401,14 @@ def _decompress_frame(fmt: str, spec, comp: jax.Array, n: int, chunk_size: int,
     offs = payload_off0 + jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(asz)[:-1].astype(jnp.int32)])
 
-    chunk_cap = int(np.asarray(jnp.max(csz))) if n else 0  # host sync for slicing cap
-    chunk_cap = _bucket_chunk_cap(chunk_cap)
-    idx = offs[:, None] + jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
-    comp_chunks = comp[jnp.clip(idx, 0, cap - 1)]
+    # per-chunk slicing as sequential dynamic slices at the format's STATIC
+    # max chunk cap — no per-byte gather (scalarized on TPU: the measured
+    # 0.02 GB/s HLIF decompress), and no host sync for a data-dependent cap
+    # (the old jnp.max(csz) readback + power-of-two bucketing)
+    chunk_cap = round_up(max(chunk_cap, 4), 4)
+    comp_pad = jnp.concatenate([comp, jnp.zeros((chunk_cap,), jnp.uint8)])
+    comp_chunks = jax.lax.map(
+        lambda o: jax.lax.dynamic_slice(comp_pad, (o,), (chunk_cap,)), offs)
     col = jnp.arange(chunk_cap, dtype=jnp.int32)[None, :]
     comp_chunks = jnp.where(col < csz[:, None], comp_chunks, 0)
 
