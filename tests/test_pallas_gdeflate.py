@@ -201,3 +201,73 @@ def test_vdecode_long_distance_64k_window():
     out, osz, stat = _vdecode([tile], 65536)
     assert stat[0] == Status.SUCCESS
     assert out[0, :len(raw)].tobytes() == raw
+
+
+# ---------------------------------------------------------------------------
+# algo-0 encoder (gdeflate_encode — the TPU compress path)
+# ---------------------------------------------------------------------------
+
+def _encode(chunks, out_cap=None):
+    from tpucomp.ops.pallas import gdeflate_encode
+    cb = ChunkBatch.from_chunks(chunks)
+    cap = out_cap or fgdef.max_compressed_chunk_size(cb.max_chunk_bytes)
+    out, osz, stat = gdeflate_encode.compress_batch(
+        cb.data, cb.sizes, cap, interpret=True)
+    return map(np.asarray, (out, osz, stat))
+
+
+def test_encode_pyref_oracle_bit_exact():
+    rng = np.random.default_rng(17)
+    chunks = [
+        synth.mixed_corpus(65536, seed=1).tobytes(),
+        synth.mortgage_like(65536, seed=2).tobytes(),
+        bytes(rng.integers(0, 256, 65536, dtype=np.uint8)),  # stored fallback
+        b"\x00" * 65536,                                     # max-len matches
+        b"abcabcabcabcabcabcabcabcabcabcabcabc",
+        b"q",
+        b"",
+    ]
+    out, osz, stat = _encode(chunks)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert pyref.decompress(out[i, :osz[i]].tobytes()) == c, i
+
+
+def test_encode_decodes_on_all_three_decoders():
+    buf = synth.mixed_corpus(1 << 17, seed=23).tobytes()
+    chunks = [buf[o:o + 32768] for o in range(0, len(buf), 32768)]
+    out, osz, stat = _encode(chunks)
+    assert (stat == Status.SUCCESS).all()
+    tiles = [out[i, :osz[i]].tobytes() for i in range(len(chunks))]
+    # serial Pallas decoder
+    dec, dsz, dst = _decode(tiles, 32768)
+    assert (dst == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert dec[i, :len(c)].tobytes() == c
+    # vectorized Pallas decoder
+    cb = ChunkBatch.from_chunks(tiles)
+    vo, vs, vst = map(np.asarray, gdeflate_vdecode.decompress_batch(
+        cb.data, cb.sizes, 32768, interpret=True))
+    assert (vst == Status.SUCCESS).all()
+    # XLA codec
+    xo, xs, xst = map(np.asarray,
+                      fgdef.decompress_batch(cb.data, cb.sizes, 32768))
+    assert (xst == Status.SUCCESS).all()
+
+
+def test_encode_stored_fallback_and_tiny():
+    rng = np.random.default_rng(0)
+    raw = bytes(rng.integers(0, 256, 16384, dtype=np.uint8))
+    out, osz, stat = _encode([raw, b"abc"])
+    assert (stat == Status.SUCCESS).all()
+    assert osz[0] == 12 + 16384                     # stored: HDR + raw
+    assert pyref.decompress(out[0, :osz[0]].tobytes()) == raw
+    assert pyref.decompress(out[1, :osz[1]].tobytes()) == b"abc"
+
+
+def test_encode_output_buffer_too_small():
+    rng = np.random.default_rng(1)
+    raw = bytes(rng.integers(0, 256, 8192, dtype=np.uint8))
+    out, osz, stat = _encode([raw], out_cap=1024)
+    assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
+    assert osz[0] == 0

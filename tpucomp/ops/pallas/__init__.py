@@ -194,9 +194,27 @@ def _deflate_compress_batch(data, sizes, opts, out_cap):
                                          interpret=interpret)
 
 
+def _gdeflate_compress_batch(data, sizes, opts, out_cap):
+    import jax
+    # the kernel is the algo-0 rung (fixed tables, high throughput —
+    # benchmark_gdeflate_chunked.cu:42); algo 1/2 keep the XLA
+    # dynamic-table encoder for their ratio semantics
+    algo = getattr(opts, "algo", 0) if opts is not None else 0
+    if algo != 0:
+        from tpucomp.formats import gdeflate as fgd
+        return fgd.compress_batch(
+            data, sizes, opts if opts is not None else fgd.DEFAULT_OPTS,
+            out_cap)
+    from tpucomp.ops.pallas import gdeflate_encode
+    interpret = jax.default_backend() != "tpu"
+    return gdeflate_encode.compress_batch(data, sizes, out_cap,
+                                          interpret=interpret)
+
+
 PALLAS_ENCODERS = {
     "lz4": _lz4_compress_batch,
     "snappy": _snappy_compress_batch,
     "ans": _ans_compress_batch,
     "deflate": _deflate_compress_batch,
+    "gdeflate": _gdeflate_compress_batch,
 }

@@ -1,0 +1,467 @@
+"""Pallas GDeflate algo-0 encoder: sort-matched walk, 32-lane bit emission.
+
+TPU compress path for GDeflate's high-throughput rung (the reference's algo
+0, ``benchmarks/benchmark_gdeflate_chunked.cu:42,55-58``); the XLA encoder
+(:func:`tpucomp.formats.gdeflate.encode_chunk`) keeps the dynamic-table
+rungs but its scatter passes are dead on TPU.
+
+Split of labor, following the tile format's own structure (see
+``tests/gdeflate_pyref.py`` for the normative layout):
+
+- **Pallas kernel (serial)**: the lz4_encode2 walk (vector sort-matched
+  candidates, O(1) literal-run jumps, back-extension) emits RFC-1951
+  fixed-table codes — all closed-form arithmetic, no tables — into 32
+  round-robin lane bit-buffers held in SMEM, flushing completed DWORDs to a
+  per-lane word array.  Per token it also records the four field bit-counts
+  (packed 4x4 bits) — everything the refill schedule depends on.
+- **XLA stage (vector)**: rebuilds the schedule from the bit-counts — the
+  per-lane exclusive bit prefix, ``dwords_before_field = min(ceil((B+32)/
+  32), D)``, and the field-major interleave — as cumsums, a blocked
+  compare-count (no searchsorted gathers), and one 3-key ``lax.sort`` that
+  permutes the lane words into decode order; then assembles the tile bytes
+  and applies the stored fallback (incompressible chunks, tiny chunks, or
+  the rare lane-buffer overflow).
+
+Output tiles are btype-1 (fixed tables), decodable by both Pallas decoders,
+the XLA codec, and the serial pyref oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpucomp.constants import Status
+from tpucomp.formats.gdeflate import HDR, LANE_TAB, N_LANES, PAYLOAD
+from tpucomp.ops import match as vmatch
+from tpucomp.ops.pallas import bytecopy as bc
+
+MIN_MATCH = 4
+MAX_MATCH = 258
+SLAB = 4096
+NT_CAP = 65536          # max tokens per 64 KiB tile (all-literal worst case)
+WCAP = 832              # per-lane dword cap (all-literal worst: 576; the
+                        # adversarial long-match skew overflows -> stored)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(w_words: int, n_slabs: int,
+            size_ref, words_ref, cand_ref, nxt_ref, lanes_ref,
+            lw_ref, nb16_ref, dcnt_ref, meta_ref, st_ref, ln_ref):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    size = size_ref[b]
+    base = s * SLAB
+    wend = base + SLAB
+    mflimit = size - MIN_MATCH + 1
+
+    @pl.when(s == 0)
+    def _():
+        st_ref[0] = jnp.int32(0)   # anchor
+        st_ref[1] = jnp.int32(0)   # scan
+        st_ref[2] = jnp.int32(0)   # token count
+        st_ref[3] = jnp.int32(0)   # overflow flag
+
+        def clr(j, c):
+            ln_ref[j] = jnp.int32(0)          # lo
+            ln_ref[N_LANES + j] = jnp.int32(0)   # hi
+            ln_ref[2 * N_LANES + j] = jnp.int32(0)  # nbits
+            ln_ref[3 * N_LANES + j] = jnp.int32(0)  # dword count
+            return c
+        jax.lax.fori_loop(0, N_LANES, clr, jnp.int32(0))
+
+    def load32(i):
+        wi = i >> 2
+        w0 = words_ref[0, 0, wi]
+        w1 = words_ref[0, 0, wi + 1]
+        sh = (i & 3) * 8
+        lo = jax.lax.shift_right_logical(w0, sh)
+        hi = jax.lax.shift_left(jax.lax.shift_left(w1, 31 - sh), jnp.int32(1))
+        return lo | hi
+
+    def getb(i):
+        ic = jnp.clip(i, jnp.int32(0), jnp.int32(4 * w_words - 1))
+        w = words_ref[0, 0, ic >> 2]
+        return (w >> ((i & 3) * 8)) & 0xFF
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, bc.BLK), 1)
+
+    def rev16(x):
+        x = ((x & 0x5555) << 1) | (jax.lax.shift_right_logical(x, jnp.int32(1))
+                                   & 0x5555)
+        x = ((x & 0x3333) << 2) | (jax.lax.shift_right_logical(x, jnp.int32(2))
+                                   & 0x3333)
+        x = ((x & 0x0F0F) << 4) | (jax.lax.shift_right_logical(x, jnp.int32(4))
+                                   & 0x0F0F)
+        return ((x & 0x00FF) << 8) | (jax.lax.shift_right_logical(
+            x, jnp.int32(8)) & 0x00FF)
+
+    def rev(v, n):
+        return jax.lax.shift_right_logical(rev16(v), 16 - n)
+
+    def lane_put(j, v, n):
+        """Append n (<=16) LSB-first bits of v to lane j; flush DWORDs."""
+        lo = ln_ref[j]
+        hi = ln_ref[N_LANES + j]
+        nb = ln_ref[2 * N_LANES + j]
+        lo = lo | jax.lax.shift_left(v, nb)
+        hi = hi | jax.lax.shift_right_logical(
+            jax.lax.shift_right_logical(v, 31 - nb), jnp.int32(1))
+        nb = nb + n
+
+        def flush(a):
+            lo, hi, nb = a
+            cnt = ln_ref[3 * N_LANES + j]
+
+            @pl.when(cnt < WCAP)
+            def _():
+                lw_ref[0, 0, j * WCAP + cnt] = lo
+            st_ref[3] = jnp.where(cnt < WCAP, st_ref[3], jnp.int32(1))
+            ln_ref[3 * N_LANES + j] = cnt + 1
+            return hi, jnp.int32(0), nb - 32
+
+        lo, hi, nb = jax.lax.cond(nb >= 32, flush, lambda a: a, (lo, hi, nb))
+        ln_ref[j] = lo
+        ln_ref[N_LANES + j] = hi
+        ln_ref[2 * N_LANES + j] = nb
+
+    def rec_nb(t, packed):
+        """Record a token's packed 4x4-bit field counts at token index t."""
+        w = jnp.minimum(t >> 1, jnp.int32(NT_CAP // 2 - 1))
+        st_ref[3] = jnp.where(t < NT_CAP, st_ref[3], jnp.int32(1))
+        old = nb16_ref[0, 0, w]
+        nb16_ref[0, 0, w] = jnp.where(t & 1 == 0, packed,
+                                   (old & 0xFFFF) | (packed << 16))
+
+    def emit_lit(t, v):
+        j = t & (N_LANES - 1)
+        lo_range = v < 144
+        code = jnp.where(lo_range, 0x30 + v, 0x190 + v - 144)
+        n = jnp.where(lo_range, jnp.int32(8), jnp.int32(9))
+        lane_put(j, rev(code, n), n)
+        rec_nb(t, n)
+
+    def emit_match(t, ml, dist):
+        j = t & (N_LANES - 1)
+        m = ml - 3
+        e = jnp.maximum(29 - jax.lax.clz(m), 0)
+        li = jnp.where(m < 8, m,
+                       jnp.where(ml == MAX_MATCH, jnp.int32(28),
+                                 ((e + 1) << 2)
+                                 | (jax.lax.shift_right_logical(m, e) - 4)))
+        e = jnp.where(jnp.logical_or(m < 8, ml == MAX_MATCH), 0, e)
+        lsym = 257 + li
+        short = lsym < 280
+        code = jnp.where(short, lsym - 256, 0xC0 + lsym - 280)
+        n1 = jnp.where(short, jnp.int32(7), jnp.int32(8))
+        lane_put(j, rev(code, n1), n1)
+        lane_put(j, m & (jax.lax.shift_left(jnp.int32(1), e) - 1), e)
+
+        d = dist - 1                      # GDeflate 32-code distance space
+        de = jnp.maximum(30 - jax.lax.clz(d), 0)
+        dc = jnp.where(d < 4, d,
+                       ((de + 1) << 1)
+                       | (jax.lax.shift_right_logical(d, de) - 2))
+        de = jnp.where(d < 4, 0, de)
+        lane_put(j, rev(dc, 5), 5)
+        lane_put(j, d & (jax.lax.shift_left(jnp.int32(1), de) - 1), de)
+        rec_nb(t, n1 | (e << 4) | (5 << 8) | (de << 12))
+
+    SCALAR_CAP = 32
+
+    def match_len(a, c, cap_n):
+        def s_cond(st):
+            l, go = st
+            return go
+
+        def s_body(st):
+            l, _ = st
+            x = load32(a + l) ^ load32(c + l)
+            eq4 = x == 0
+            sub = ((x & 0xFF) == 0).astype(jnp.int32) \
+                + ((x & 0xFFFF) == 0).astype(jnp.int32) \
+                + ((x & 0xFFFFFF) == 0).astype(jnp.int32)
+            l2 = l + jnp.where(eq4, jnp.int32(4), sub)
+            go = jnp.logical_and(eq4, jnp.logical_and(l2 < cap_n,
+                                                      l2 < SCALAR_CAP))
+            return l2, go
+
+        l, _ = jax.lax.while_loop(s_cond, s_body, (jnp.int32(0), cap_n > 0))
+
+        def v_tail(l0):
+            def cond(st):
+                l, first = st
+                return jnp.logical_and(first == bc.BLK, l < cap_n)
+
+            def body(st):
+                l, _ = st
+                wa = bc.window128(lanes_ref, a + l)
+                wc = bc.window128(lanes_ref, c + l)
+                neq = wa != wc
+                idx = jnp.min(jnp.where(neq, lane_i, jnp.int32(bc.BLK)),
+                              keepdims=True)[0, 0]
+                return l + idx, idx
+
+            l2, _ = jax.lax.while_loop(cond, body, (l0, jnp.int32(bc.BLK)))
+            return l2
+
+        l = jax.lax.cond(l >= SCALAR_CAP, v_tail, lambda l0: l0, l)
+        return jnp.minimum(l, cap_n)
+
+    def emit_lits(t, a, b2):
+        def body(i, t):
+            emit_lit(t, getb(i))
+            return t + 1
+
+        return jax.lax.fori_loop(a, b2, body, t)
+
+    def wcond(carry):
+        anchor, scan, t, cont = carry
+        return cont
+
+    def wbody(carry):
+        anchor, scan, t, _ = carry
+        nm = nxt_ref[0, 0, scan - base]
+
+        def take(a):
+            anchor, scan, t = a
+            c = nm - cand_ref[0, 0, nm - base]
+            src = nm - c
+
+            def bcond(st2):
+                nm2, src2 = st2
+                return jnp.logical_and(
+                    jnp.logical_and(nm2 > anchor, src2 > 0),
+                    getb(nm2 - 1) == getb(src2 - 1))
+
+            def bbody(st2):
+                nm2, src2 = st2
+                return nm2 - 1, src2 - 1
+
+            nm2, src2 = jax.lax.while_loop(bcond, bbody, (nm, src))
+            back = nm - nm2
+            ml = back + MIN_MATCH + match_len(
+                nm + MIN_MATCH, src + MIN_MATCH,
+                jnp.minimum(size - (nm + MIN_MATCH),
+                            MAX_MATCH - MIN_MATCH - back))
+            t = emit_lits(t, anchor, nm2)
+            emit_match(t, ml, c)
+            nip = nm2 + ml
+            return nip, nip, t + 1
+
+        in_win = nm < wend
+        usable = jnp.logical_and(in_win, nm < mflimit)
+        anchor, scan, t = jax.lax.cond(
+            usable, take,
+            lambda a: (a[0], jnp.where(in_win, size, nm), a[2]),
+            (anchor, scan, t))
+        cont = jnp.logical_and(scan < wend, scan < mflimit)
+        scan = jnp.where(scan < mflimit, scan, jnp.maximum(scan, size))
+        return anchor, scan, t, cont
+
+    anchor0, scan0, t0 = st_ref[0], st_ref[1], st_ref[2]
+    run = jnp.logical_and(scan0 < wend, jnp.logical_and(scan0 >= base,
+                                                        scan0 < mflimit))
+    anchor, scan, t, _ = jax.lax.while_loop(
+        wcond, wbody, (anchor0, jnp.maximum(scan0, base), t0, run))
+    anchor = jnp.where(run, anchor, anchor0)
+    scan = jnp.where(run, scan, scan0)
+    t = jnp.where(run, t, t0)
+    st_ref[0], st_ref[1], st_ref[2] = anchor, scan, t
+
+    @pl.when(s == n_slabs - 1)
+    def _():
+        tf = emit_lits(st_ref[2], st_ref[0], size)
+
+        def fin(j, c):
+            nb = ln_ref[2 * N_LANES + j]
+            cnt = ln_ref[3 * N_LANES + j]
+
+            @pl.when(jnp.logical_and(nb > 0, cnt < WCAP))
+            def _():
+                lw_ref[0, 0, j * WCAP + cnt] = ln_ref[j]
+            st_ref[3] = jnp.where(jnp.logical_or(nb == 0, cnt < WCAP),
+                                  st_ref[3], jnp.int32(1))
+            dcnt_ref[0, 0, j] = cnt + (nb > 0).astype(jnp.int32)
+            return c
+        jax.lax.fori_loop(0, N_LANES, fin, jnp.int32(0))
+        meta_ref[0, 0, 0] = tf
+        meta_ref[0, 0, 1] = st_ref[3]
+        meta_ref[0, 0, 2] = jnp.where(tf > NT_CAP, jnp.int32(1), jnp.int32(0))
+        meta_ref[0, 0, 3] = jnp.int32(0)
+
+
+def _run_kernel(data, sizes, interpret):
+    B, cap = data.shape
+    sizes = sizes.astype(jnp.int32)
+    cand, nxt = vmatch.candidates(data, sizes)
+    n_slabs = max(1, -(-cap // SLAB))
+    pad_to = n_slabs * SLAB
+    cand = jnp.pad(cand, ((0, 0), (0, pad_to - cap)))
+    nxt = jnp.pad(jnp.minimum(nxt, pad_to - 1),
+                  ((0, 0), (0, pad_to - cap)), constant_values=pad_to - 1)
+    cand = cand.reshape(B, 1, pad_to)
+    nxt = nxt.reshape(B, 1, pad_to)
+
+    wpad = _round_up(max(cap, 8), 4) + 4
+    cw = jnp.pad(data, ((0, 0), (0, wpad - cap))).astype(jnp.int32)
+    cw = cw.reshape(B, 1, wpad // 4, 4)
+    words = (cw[..., 0] | (cw[..., 1] << 8) | (cw[..., 2] << 16)
+             | (cw[..., 3] << 24))
+
+    lpad = _round_up(cap, bc.BLK) + bc.PAD_BYTES
+    lanes = jnp.pad(data, ((0, 0), (0, lpad - cap))).astype(jnp.int32)
+    lanes = lanes.reshape(B, lpad // bc.BLK, bc.BLK)
+
+    nt2 = NT_CAP // 2
+    with jax.enable_x64(False):
+        lw, nb16, dcnt, meta = pl.pallas_call(
+            functools.partial(_kernel, wpad // 4, n_slabs),
+            grid=(B, n_slabs),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, wpad // 4), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, lpad // bc.BLK, bc.BLK),
+                             lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, N_LANES * WCAP), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, nt2), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, N_LANES), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 4), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 1, N_LANES * WCAP), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, nt2), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, N_LANES), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1, 4), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.SMEM((8,), jnp.int32),
+                            pltpu.SMEM((4 * N_LANES,), jnp.int32)],
+            interpret=interpret,
+        )(sizes, words, cand, nxt, lanes)
+    return (lw.reshape(B, -1), nb16.reshape(B, -1),
+            dcnt.reshape(B, -1), meta.reshape(B, -1))
+
+
+def _schedule_and_assemble(lw, nb16, D, ntok, data_row, size, out_cap):
+    """Per-chunk XLA stage: decode-order interleave + tile bytes."""
+    R4 = (NT_CAP // N_LANES) * 4
+
+    # unpack per-token 4x4-bit field counts -> field-major event grid
+    t_ids = jnp.arange(NT_CAP, dtype=jnp.int32)
+    tw = jax.lax.shift_right_logical(
+        nb16[t_ids >> 1], (t_ids & 1) * 16) & 0xFFFF
+    tw = jnp.where(t_ids < ntok, tw, 0)
+    f = jnp.stack([tw & 0xF, (tw >> 4) & 0xF, (tw >> 8) & 0xF,
+                   (tw >> 12) & 0xF], axis=1)           # (NT, 4)
+    ev = f.reshape(NT_CAP // N_LANES, N_LANES, 4)
+    ev = jnp.transpose(ev, (0, 2, 1)).reshape(R4, N_LANES)
+
+    B_ = jnp.cumsum(ev, axis=0).astype(jnp.int32) - ev  # exclusive prefix
+    d_ev = jnp.minimum((B_ + 63) >> 5, D[None, :])      # dwords before event
+
+    # e_first(j, w) = #{e : d_ev[e, j] <= w}, via blocked compare-count
+    # (monotone columns; no searchsorted -> no scalarized gathers)
+    WB = 64
+
+    def blk(wlo):
+        wv = wlo + jnp.arange(WB, dtype=jnp.int32)
+        return jnp.sum((d_ev[:, None, :] <= wv[None, :, None])
+                       .astype(jnp.int32), axis=0)      # (WB, N_LANES)
+
+    ef = jax.lax.map(blk, jnp.arange(0, WCAP, WB, dtype=jnp.int32))
+    ef = ef.reshape(WCAP, N_LANES)                       # e_first per (w, j)
+
+    # decode order: sort lane dwords by (e_first, lane, w); invalid last
+    jj = jnp.broadcast_to(jnp.arange(N_LANES, dtype=jnp.int32)[:, None],
+                          (N_LANES, WCAP)).reshape(-1)
+    ww = jnp.broadcast_to(jnp.arange(WCAP, dtype=jnp.int32)[None, :],
+                          (N_LANES, WCAP)).reshape(-1)
+    efl = jnp.transpose(ef).reshape(-1)
+    valid = ww < D[jj]
+    efl = jnp.where(valid, efl, jnp.int32(R4 + 1))
+    _, _, _, stream = jax.lax.sort((efl, jj, ww, lw), num_keys=3)
+    W = jnp.sum(D)
+
+    # tile bytes: 12 B header, 32 u16 lane counts, stream DWORDs
+    def u32b(v):
+        v = v.astype(jnp.int32)
+        return jnp.stack([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF,
+                          jax.lax.shift_right_logical(v, jnp.int32(24))
+                          & 0xFF])
+
+    hdr = jnp.concatenate([
+        jnp.array([1, 0], jnp.int32), u32b(ntok), u32b(size),
+        jnp.array([0, 0], jnp.int32)])                   # btype-1, hdr_bytes=0
+    ltab = jnp.stack([D & 0xFF, jax.lax.shift_right_logical(D, jnp.int32(8))],
+                     axis=1).reshape(-1)
+    sb = jnp.stack([stream & 0xFF,
+                    jax.lax.shift_right_logical(stream, jnp.int32(8)) & 0xFF,
+                    jax.lax.shift_right_logical(stream, jnp.int32(16)) & 0xFF,
+                    jax.lax.shift_right_logical(stream, jnp.int32(24)) & 0xFF],
+                   axis=1).reshape(-1)
+    tile = jnp.concatenate([hdr, ltab, sb]).astype(jnp.uint8)
+    total = PAYLOAD + 4 * W
+
+    pos = jnp.arange(out_cap, dtype=jnp.int32)
+    tile = jnp.pad(tile, (0, max(0, out_cap - tile.shape[0])))[:out_cap]
+    tile = jnp.where(pos < total, tile, 0)
+
+    # stored fallback: tiny, expanded, or lane-overflow chunks
+    stored_hdr = jnp.concatenate([
+        jnp.zeros((2,), jnp.int32), u32b(jnp.int32(0)), u32b(size),
+        jnp.zeros((2,), jnp.int32)]).astype(jnp.uint8)
+    stored = jnp.concatenate([stored_hdr,
+                              jnp.pad(data_row, (0, max(0, out_cap - HDR
+                                                        - data_row.shape[0])))
+                              [:out_cap - HDR]])[:out_cap]
+    stored = jnp.where(pos < HDR + size, stored, 0)
+    return tile, total, stored, HDR + size
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
+def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
+                   interpret: bool = False):
+    """Batched GDeflate algo-0 encode, Pallas backend.  Same contract as
+    :func:`tpucomp.formats.gdeflate.compress_batch` (tile container per
+    ``tests/gdeflate_pyref.py``); chunks <= 64 KiB."""
+    B, cap = data.shape
+    sizes = sizes.astype(jnp.int32)
+    lw, nb16, dcnt, meta = _run_kernel(data, sizes, interpret)
+
+    def one(args):
+        lwr, nbr, dr, mr, drow, sz = args
+        tile, total, stored, stot = _schedule_and_assemble(
+            lwr, nbr, dr, mr[0], drow, sz, out_cap)
+        use_stored = jnp.logical_or(
+            jnp.logical_or(mr[1] != 0, mr[2] != 0),
+            jnp.logical_or(sz < 16, total >= stot))
+        out = jnp.where(use_stored, stored, tile)
+        osz = jnp.where(use_stored, stot, total)
+        too_big = osz > out_cap
+        osz = jnp.where(too_big, 0, osz).astype(jnp.int32)
+        stat = jnp.where(too_big,
+                         jnp.int32(Status.ERROR_OUTPUT_BUFFER_TOO_SMALL),
+                         jnp.int32(Status.SUCCESS))
+        out = jnp.where(jnp.arange(out_cap) < osz, out, 0)
+        return out, osz, stat
+
+    out, osz, stat = jax.lax.map(one, (lw, nb16, dcnt, meta, data, sizes))
+    return out.astype(jnp.uint8), osz, stat
