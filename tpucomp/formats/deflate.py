@@ -588,8 +588,13 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: DeflateOpts,
         mlen = jnp.zeros((cap,), jnp.int32)
         moff = jnp.ones((cap,), jnp.int32)
     else:
+        # algo ladder depth: the high-compression rung pays a deeper
+        # candidate probe (measured on 64 KiB text chunks: 1.096x -> 1.069x
+        # of zlib-6); algo 0 keeps the fast scan
+        nc, pw = (32, 24) if opts.algo >= 1 else (16, 12)
         mlen, moff = _lz4._find_matches(data, size, run_dists=(1, 2, 4, 8),
-                                        ext_words=64, n_cands=16, probe_words=12)
+                                        ext_words=64, n_cands=nc,
+                                        probe_words=pw)
         mlen = jnp.minimum(mlen, 258)        # deflate max match length
         mlen = jnp.where(moff > 32768, 0, mlen)  # deflate max distance
 
