@@ -21,8 +21,9 @@ honest runtime this equals the conventional number; on a lying one it is the
 only correct measurement.
 
 Decode inputs are produced host-side by liblz4 (standard LZ4 streams — the
-stronger conformance statement).  Compress measurement is skipped by default on
-the axon tunnel (its remote compile takes 10+ minutes).
+stronger conformance statement).  Compress is measured by the same chained
+readback protocol through the product encoder (the sort-matched Pallas
+kernel on TPU) and reported as ``compress_gbs``/``compress_ratio``.
 """
 from __future__ import annotations
 
@@ -51,7 +52,8 @@ def main() -> None:
                     help="decode path: auto = Pallas kernel on TPU when the "
                          "format has one, else fused-XLA program")
     ap.add_argument("--with-compress", action="store_true",
-                    help="force the compress measurement even on the axon tunnel")
+                    help="(kept for compatibility: compress is measured by "
+                         "default since round 3; --skip-compress disables)")
     ap.add_argument("--dataset", default="both",
                     choices=["mortgage", "mixed", "both"],
                     help="mortgage = reference-headline-like ratio-39 column "
@@ -90,12 +92,9 @@ def main() -> None:
     dev = jax.devices()[0]
     on_axon = "axon" in (jax.config.jax_platforms or "")
     log(f"device: {dev} ({dev.platform}{', axon tunnel' if on_axon else ''})")
-    if on_axon and not args.with_compress:
-        # the tunnel's remote compile of the encoder takes 10+ minutes and
-        # degrades the session; default to the decompress headline only here
-        args.skip_compress = True
-        log("axon tunnel detected: skipping compress measurement "
-            "(pass --with-compress to force)")
+    # (round 3: the sort-matched Pallas encoders compile in ~20 s and run at
+    # 0.15-0.24 GB/s, so compress is measured by default everywhere; the old
+    # tunnel skip only applies when explicitly requested)
 
     mb = args.mb or (4 if args.quick else 32)
     iters = args.iters or (3 if args.quick else 8)
@@ -225,20 +224,6 @@ def main() -> None:
         return jax.lax.map(
             lambda t: enc_batch(t[0], t[1], opts, cap), (d, s))
 
-    def timed(fn, *fargs):
-        times = []
-        out = None
-        for _ in range(iters):
-            t0 = time.time()
-            out = fn(*fargs)
-            jax.block_until_ready(out)
-            times.append(time.time() - t0)
-        times.sort()
-        med = times[len(times) // 2]
-        log(f"    times ms: med {med*1e3:.2f} min {times[0]*1e3:.2f} "
-            f"max {times[-1]*1e3:.2f}")
-        return total_bytes / med / 1e9, out
-
     # ---------------- decode (the headline) -------------------------------------------
     pre = probe_ms()
 
@@ -267,26 +252,35 @@ def main() -> None:
         datasets[0], comp_d, csz_d)
     dec_out = dec_fn(comp_d, csz_d)
 
-    # ---------------- compress (and self-decode when no oracle) ----------------------
+    # ---------------- compress (chained readback protocol, like decode) --------------
     comp_gbs = None
-    csz = None
+    comp_ratio = None
     if not args.skip_compress:
+        @jax.jit
+        def comp_loop(d, s, k):
+            def body(i, carry):
+                s2, acc = carry
+                comp, csz, cst = jax.lax.map(
+                    lambda t: enc_batch(t[0], t[1], opts, cap), (d, s2))
+                sm = (jnp.sum(comp.astype(jnp.int32)) + jnp.sum(csz)
+                      + jnp.sum(cst)).astype(jnp.int32)
+                return (s2 + sm * 0).astype(jnp.int32), (acc + sm).astype(jnp.int32)
+            _, acc = jax.lax.fori_loop(0, k, body, (s, jnp.int32(0)))
+            return acc
+
         t0 = time.time()
+        int(comp_loop(datas, sizesd, jnp.int32(1)))
+        log(f"[{fmt}] compress compile+first-run(synced) {time.time()-t0:.1f}s")
+        KN = max(iters, 4)
+        t0 = time.time()
+        int(comp_loop(datas, sizesd, jnp.int32(KN)))
+        t = time.time() - t0
+        comp_gbs = KN * total_bytes / t / 1e9
         comp, csz, cst = comp_fn(datas, sizesd)
-        jax.block_until_ready(comp)
-        log(f"[{fmt}] compress compile+warm {time.time()-t0:.1f}s")
-        mode_c = probe_ms()
-        comp_gbs, _ = timed(comp_fn, datas, sizesd)
-        log(f"[{fmt}] compress {comp_gbs:.2f} GB/s "
-            f"(dispatch mode: {'FAST' if mode_c < 50 else 'DEGRADED'})")
-        if decomp_gbs is None:
-            t0 = time.time()
-            jax.block_until_ready(dec_fn(comp, csz))
-            log(f"[{fmt}] decompress compile+warm {time.time()-t0:.1f}s")
-            decomp_gbs, dec_out = timed(dec_fn, comp, csz)
-            mode = probe_ms()
-            log(f"[{fmt}] decompress {decomp_gbs:.2f} GB/s (self-compressed; "
-                f"mode {'FAST' if mode < 50 else 'DEGRADED'})")
+        comp_ratio = total_bytes / int(np.asarray(csz).sum())
+        assert int(np.asarray(cst).max()) == 0, "compress statuses"
+        log(f"[{fmt}] compress {comp_gbs:.3f} GB/s at ratio {comp_ratio:.2f} "
+            f"({KN} chained iterations, readback-terminated)")
 
     # ---------------- verification (on-device compare, scalar readbacks) -------------
     dec, dsz, dst = dec_out
@@ -319,6 +313,9 @@ def main() -> None:
     head = datasets[0]
     extras = {f"{n}_gbs": round(g, 4) for n, g in ds_gbs.items() if n != head}
     extras.update({f"{n}_ratio": round(ds_ratio[n], 2) for n in ds_gbs})
+    if comp_gbs is not None:
+        extras["compress_gbs"] = round(comp_gbs, 4)
+        extras["compress_ratio"] = round(comp_ratio, 2)
     print(json.dumps({
         "metric": f"{fmt}_decompress_throughput",
         "value": round(decomp_gbs, 4),
