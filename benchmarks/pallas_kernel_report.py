@@ -37,6 +37,8 @@ def main() -> None:
                     choices=["mixed", "mortgage"],
                     help="mixed = Silesia-like ratio-2.5; mortgage = the "
                          "reference-headline-like ratio-39 column data")
+    ap.add_argument("--csv", default=None,
+                    help="also write the table as CSV to this path")
     args = ap.parse_args()
 
     import jax
@@ -65,7 +67,7 @@ def main() -> None:
 
     def stage(fmt):
         """Host-side compressed chunks via the best oracle."""
-        fmt = {"gdeflate-serial": "gdeflate", "lz4-pair": "lz4"}.get(fmt, fmt)
+        fmt = {"gdeflate-vec": "gdeflate", "lz4-pair": "lz4"}.get(fmt, fmt)
         if fmt == "lz4" and avail.get("lz4"):
             return [interop.lz4_compress(c) for c in chunks], "liblz4"
         if fmt == "snappy" and avail.get("snappy"):
@@ -92,7 +94,7 @@ def main() -> None:
     fmts = args.formats or sorted(pk.PALLAS_DECODERS)
     if not args.formats or "gdeflate" in fmts:
         fmts = [f for f in fmts if f != "gdeflate"] + \
-            ["gdeflate", "gdeflate-serial"]
+            ["gdeflate", "gdeflate-vec"]
     if not args.formats or "lz4" in fmts:
         fmts = fmts + ["lz4-pair"]
     for fmt in fmts:
@@ -102,11 +104,11 @@ def main() -> None:
             log(f"[{fmt}] staging failed: {e}")
             continue
         cb = ChunkBatch.from_chunks(comp)
-        if fmt == "gdeflate-serial":
+        if fmt == "gdeflate-vec":
             import jax as _jax
-            from tpucomp.ops.pallas import gdeflate_decode as _gds
+            from tpucomp.ops.pallas import gdeflate_vdecode as _gdv
             interp = _jax.default_backend() != "tpu"
-            dec_fn = functools.partial(_gds.decompress_batch,
+            dec_fn = functools.partial(_gdv.decompress_batch,
                                        interpret=interp)
         elif fmt == "lz4-pair":
             import jax as _jax
@@ -158,7 +160,18 @@ def main() -> None:
             def enc_j(d, s, enc_fn=enc_fn, cap=cap):
                 return enc_fn(d, s, None, cap)
 
+            @jax.jit
+            def enc_loop(d, s, k, enc_fn=enc_fn, cap=cap):
+                def body(i, carry):
+                    s2, acc = carry
+                    o1, o2, o3 = enc_fn(d, s2, None, cap)
+                    sm = (jnp.sum(o1.astype(jnp.int32)) + jnp.sum(o2)
+                          + jnp.sum(o3)).astype(jnp.int32)
+                    return (s2 + sm * 0).astype(s2.dtype), acc + sm
+                return jax.lax.fori_loop(0, k, body, (s, jnp.int32(0)))[1]
+
             t0 = time.time()
+            int(enc_loop(cb.data, cb.sizes, jnp.int32(1)))
             co, cs, st = enc_j(cb.data, cb.sizes)
             jax.block_until_ready(co)
             compile_s = time.time() - t0
@@ -181,13 +194,10 @@ def main() -> None:
                 orig = ChunkBatch.from_chunks(chunks)
                 ok = ok and bool((dst == 0).all()) and bool(
                     (do == np.asarray(orig.data)).all())
-            ts = []
-            for _ in range(3):
-                t0 = time.time()
-                o = enc_j(cb.data, cb.sizes)
-                jax.block_until_ready(o[0])
-                ts.append(time.time() - t0)
-            gbs = total / sorted(ts)[1] / 1e9
+            kn = max(args.iters, 4)
+            t0 = time.time()
+            int(enc_loop(cb.data, cb.sizes, jnp.int32(kn)))
+            gbs = kn * total / (time.time() - t0) / 1e9
             results.append((fmt, "encode", "cpu-oracle", ok, gbs, compile_s))
             log(f"[{fmt}] encode {'BIT-EXACT' if ok else 'MISMATCH!'} "
                 f"{gbs:.3f} GB/s (compile {compile_s:.0f}s, "
@@ -198,6 +208,17 @@ def main() -> None:
     for fmt, d, oracle, ok, gbs, cs_ in results:
         print(f"{fmt:9s} {d:6s} {oracle:16s} {str(ok):5s} {gbs:8.3f} "
               f"{cs_:9.0f}")
+    if args.csv:
+        import jax as _j
+        with open(args.csv, "w") as f:
+            f.write("dataset,device,format,direction,oracle,bit_exact,"
+                    "gbs,compile_s,corpus_mb,chunk_kb\n")
+            devname = str(_j.devices()[0]).replace(",", ";")
+            for fmt, d, oracle, ok, gbs, cs_ in results:
+                f.write(f"{args.dataset},{devname},{fmt},{d},{oracle},"
+                        f"{ok},{gbs:.4f},{cs_:.1f},{args.mb},"
+                        f"{args.chunk_kb}\n")
+        log(f"wrote {args.csv}")
     bad = [r for r in results if not r[3]]
     sys.exit(1 if bad else 0)
 

@@ -10,11 +10,13 @@ stamp=$(date +%Y%m%d_%H%M)
 
 echo "== pallas kernel report (mixed corpus) ==" >&2
 timeout 3600 python benchmarks/pallas_kernel_report.py --mb 4 \
+    --csv "$OUT/kernels_mixed_$stamp.csv" \
     | tee "$OUT/kernels_mixed_$stamp.txt"
 
-echo "== pallas kernel report (mortgage headline corpus, decode) ==" >&2
+echo "== pallas kernel report (mortgage headline corpus) ==" >&2
 timeout 3600 python benchmarks/pallas_kernel_report.py --mb 4 \
-    --dataset mortgage --skip-encode \
+    --dataset mortgage \
+    --csv "$OUT/kernels_mortgage_$stamp.csv" \
     | tee "$OUT/kernels_mortgage_$stamp.txt"
 
 echo "== headline bench ==" >&2
