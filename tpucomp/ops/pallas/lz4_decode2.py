@@ -51,17 +51,48 @@ def _kernel(out_cap: int, w_words: int,
         v = jnp.where(sh == 0, w0, lo | hi)
         return v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
 
+    def get4(c, i):
+        """Four bytes at i (LE word), clipped loads — memory-safe past csize."""
+        wi = jnp.clip(i >> 2, jnp.int32(0), jnp.int32(w_words - 2))
+        w0 = words_ref[c, 0, wi]
+        w1 = words_ref[c, 0, wi + 1]
+        sh = (i & 3) * 8
+        lo = jax.lax.shift_right_logical(w0, sh)
+        hi = jax.lax.shift_left(w1, (32 - sh) & jnp.int32(31))
+        return jnp.where(sh == 0, w0, lo | hi)
+
     def read_ext(c, csize, ip, ln):
+        """LZ4 length extension, WORD-at-a-time: each iteration consumes up
+        to four 255-bytes (the byte-serial loop cost ~8 cycles/byte, which
+        dominated ratio-39 data whose multi-KB matches carry dozens of
+        extension bytes).  Exact same (ip, ln) outcome as the byte loop,
+        including the truncated-at-csize error shape the caller checks."""
         def cond(s):
-            ip, _, bb = s
-            return jnp.logical_and(bb == 255, ip < csize)
+            ip, _, go = s
+            return go
 
         def body(s):
             ip, ln, _ = s
-            nb = getb(c, ip)
-            return ip + 1, ln + nb, nb
+            w = get4(c, ip)
+            is0 = ((w & 0xFF) == 255).astype(jnp.int32)
+            is1 = is0 * (((w >> 8) & 0xFF) == 255).astype(jnp.int32)
+            is2 = is1 * (((w >> 16) & 0xFF) == 255).astype(jnp.int32)
+            is3 = is2 * ((jax.lax.shift_right_logical(w, jnp.int32(24))
+                          & 0xFF) == 255).astype(jnp.int32)
+            k = is0 + is1 + is2 + is3              # leading 255s in the word
+            avail = csize - ip
+            run_hits_end = k >= avail              # 255s reach the block end
+            c_run = jnp.where(run_hits_end, jnp.maximum(avail, 0), k)
+            term = jax.lax.shift_right_logical(
+                w, (k & 3) * 8) & 0xFF              # byte after the run (k<4)
+            done_term = jnp.logical_and(k < 4, jnp.logical_not(run_hits_end))
+            ln = ln + 255 * c_run + jnp.where(done_term, term, 0)
+            ip = ip + c_run + done_term.astype(jnp.int32)
+            go = jnp.logical_and(k == 4, jnp.logical_not(run_hits_end))
+            return ip, ln, go
 
-        ip, ln, _ = jax.lax.while_loop(cond, body, (ip, ln, jnp.int32(255)))
+        ip, ln, _ = jax.lax.while_loop(
+            cond, body, (ip, ln, ip < csize))
         return ip, ln
 
     def prelude(c, csize, ip, op):
@@ -132,8 +163,16 @@ def _kernel(out_cap: int, w_words: int,
                 bc.store128_wild(out_ref, op, v, c)
 
             op2 = op + p["ll0"]
+            wide = jnp.logical_and(p["off"] >= bc.WIDE,
+                                   p["ml_m"] >= 2 * bc.BLK)
 
-            @pl.when(p["off"] >= bc.BLK)
+            @pl.when(wide)
+            def _():
+                bc.copy_bytes_wide(out_ref, out_ref, op2 - p["off"], op2,
+                                   p["ml_m"], c, c)
+
+            @pl.when(jnp.logical_and(p["off"] >= bc.BLK,
+                                     jnp.logical_not(wide)))
             def _():
                 bc.copy_bytes(out_ref, out_ref, op2 - p["off"], op2,
                               p["ml_m"], c, c)
@@ -155,7 +194,12 @@ def _kernel(out_cap: int, w_words: int,
             lit_ok = jnp.logical_and(jnp.logical_not(err),
                                      op + ll <= out_cap)
 
-            @pl.when(jnp.logical_and(lit_ok, ll > 0))
+            @pl.when(jnp.logical_and(lit_ok, ll >= 2 * bc.BLK))
+            def _():
+                bc.copy_bytes_wide(lanes_ref, out_ref, ip, op, ll, c, c)
+
+            @pl.when(jnp.logical_and(
+                lit_ok, jnp.logical_and(ll > 0, ll < 2 * bc.BLK)))
             def _():
                 bc.copy_bytes(lanes_ref, out_ref, ip, op, ll, c, c)
 
