@@ -84,7 +84,14 @@ def _kernel(out_cap: int, w_words: int,
             err = jnp.logical_or(err, src + ll > csize)
             lit_ok = jnp.logical_and(jnp.logical_not(err), op + ll <= out_cap)
 
-            @pl.when(lit_ok)
+            # long literal runs (Snappy's dominant element on incompressible
+            # spans) move in 512-byte super-blocks; cross-buffer, so the
+            # wide copy is always overlap-safe
+            @pl.when(jnp.logical_and(lit_ok, ll >= 2 * bc.BLK))
+            def _():
+                bc.copy_bytes_wide(lanes_ref, out_ref, src, op, ll)
+
+            @pl.when(jnp.logical_and(lit_ok, ll < 2 * bc.BLK))
             def _():
                 bc.copy_bytes(lanes_ref, out_ref, src, op, ll)
 
