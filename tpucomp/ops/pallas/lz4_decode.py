@@ -66,19 +66,41 @@ def _kernel(out_cap: int, w_words: int,
         v = jnp.where(sh == 0, w0, lo | hi)
         return v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF
 
+    def get4(i):
+        wi = jnp.clip(i >> 2, jnp.int32(0), jnp.int32(w_words - 2))
+        w0 = words_ref[0, 0, wi]
+        w1 = words_ref[0, 0, wi + 1]
+        sh = (i & 3) * 8
+        lo = jax.lax.shift_right_logical(w0, sh)
+        hi = jax.lax.shift_left(w1, (32 - sh) & jnp.int32(31))
+        return jnp.where(sh == 0, w0, lo | hi)
+
     def read_ext(ip, ln):
-        """LZ4 length extension: add bytes until one != 255.  Returns
-        (new_ip, new_ln); caller checks ip <= csize afterwards."""
+        """Word-at-a-time LZ4 length extension (see lz4_decode2)."""
         def cond(s):
-            ip, _, b = s
-            return jnp.logical_and(b == 255, ip < csize)
+            ip, _, go = s
+            return go
 
         def body(s):
             ip, ln, _ = s
-            nb = getb(ip)
-            return ip + 1, ln + nb, nb
+            w = get4(ip)
+            is0 = ((w & 0xFF) == 255).astype(jnp.int32)
+            is1 = is0 * (((w >> 8) & 0xFF) == 255).astype(jnp.int32)
+            is2 = is1 * (((w >> 16) & 0xFF) == 255).astype(jnp.int32)
+            is3 = is2 * ((jax.lax.shift_right_logical(w, jnp.int32(24))
+                          & 0xFF) == 255).astype(jnp.int32)
+            k = is0 + is1 + is2 + is3
+            avail = csize - ip
+            run_hits_end = k >= avail
+            c_run = jnp.where(run_hits_end, jnp.maximum(avail, 0), k)
+            term = jax.lax.shift_right_logical(w, (k & 3) * 8) & 0xFF
+            done_term = jnp.logical_and(k < 4, jnp.logical_not(run_hits_end))
+            ln = ln + 255 * c_run + jnp.where(done_term, term, 0)
+            ip = ip + c_run + done_term.astype(jnp.int32)
+            go = jnp.logical_and(k == 4, jnp.logical_not(run_hits_end))
+            return ip, ln, go
 
-        ip, ln, _ = jax.lax.while_loop(cond, body, (ip, ln, jnp.int32(255)))
+        ip, ln, _ = jax.lax.while_loop(cond, body, (ip, ln, ip < csize))
         return ip, ln
 
     def loop_cond(s):
