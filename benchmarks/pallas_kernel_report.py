@@ -185,6 +185,10 @@ def main() -> None:
                 for i, c in enumerate(chunks):
                     ok = ok and interop.snappy_decompress(
                         co[i, :int(cs[i])].tobytes()) == c
+            elif fmt == "zstd" and avail.get("zstd"):
+                for i, c in enumerate(chunks):
+                    ok = ok and interop.zstd_decompress(
+                        co[i, :int(cs[i])].tobytes(), len(c)) == c
             else:  # self-framed formats (ans): XLA decoder on CPU backend
                 cpu0 = jax.devices("cpu")[0]
                 dj = jax.jit(lambda d, s: spec.decompress_batch(

@@ -148,3 +148,98 @@ def test_vmem_gate_kernel_at_1mib_fallback_above():
                                                        4 << 20))
     assert stat2[0] == Status.SUCCESS
     assert out2[0, :len(buf2)].tobytes() == buf2
+
+
+# =====================================================================================
+# predefined-FSE encoder (zstd_encode — the TPU-side compress path)
+# =====================================================================================
+
+def _encode(chunks, out_cap=None):
+    from tpucomp.ops.pallas import zstd_encode
+    cb = ChunkBatch.from_chunks(chunks)
+    cap = out_cap or fzstd.max_compressed_chunk_size(cb.max_chunk_bytes)
+    out, osz, stat = zstd_encode.compress_batch(
+        cb.data, cb.sizes, cap, interpret=True)
+    return np.asarray(out), np.asarray(osz), np.asarray(stat)
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_encode_zstandard_decompresses_bit_exact():
+    """The strongest oracle: frames decode with python-zstandard, covering
+    raw-literal blocks, rep-offset-1 codes, the raw-block rewrite
+    (incompressible), RLE-like periods, and zero/one-byte chunks."""
+    chunks = _raws()
+    out, osz, stat = _encode(chunks)
+    for i, c in enumerate(chunks):
+        assert stat[i] == Status.SUCCESS, (i, stat[i])
+        got = interop.zstd_decompress(out[i, :osz[i]].tobytes(), len(c))
+        assert got == c, i
+
+
+def test_encode_own_decoders_roundtrip():
+    """XLA decoder and the Pallas decode kernel both read the frames."""
+    chunks = [c for c in _raws() if c]
+    out, osz, stat = _encode(chunks)
+    comp = [out[i, :osz[i]].tobytes() for i in range(len(chunks))]
+    cb = ChunkBatch.from_chunks(comp)
+    cap = max(len(c) for c in chunks)
+    for path in (
+            lambda: fzstd.decompress_batch(cb.data, cb.sizes, cap),
+            lambda: zstd_decode.decompress_batch(cb.data, cb.sizes, cap,
+                                                 interpret=True)):
+        o, z, st = map(np.asarray, path())
+        for i, c in enumerate(chunks):
+            assert st[i] == Status.SUCCESS, (i, st[i])
+            assert z[i] == len(c)
+            assert o[i, :len(c)].tobytes() == c, i
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_encode_repeat_offset_and_ratio_sanity():
+    """Strided data must use rep-offset codes (ratio well above the
+    no-rep bound) and still decode with the reference decoder."""
+    # period-16 stride with noise every period -> every match offset 16
+    base = (np.arange(16, dtype=np.uint8) * 7 + 3).tobytes()
+    raw = b"".join(base + bytes([i & 0xFF]) for i in range(1500))
+    out, osz, stat = _encode([raw])
+    assert stat[0] == Status.SUCCESS
+    got = interop.zstd_decompress(out[0, :osz[0]].tobytes(), len(raw))
+    assert got == raw
+    assert len(raw) / osz[0] > 4.0, osz[0]
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_encode_sequence_overflow_degrades_gracefully():
+    """More matches than the SMEM triple buffer holds: the walk stops
+    matching and the tail rides as literals — valid frame, no error."""
+    rng = np.random.default_rng(5)
+    # 4-byte matches back to back: abABabCDabEF... rarely merging
+    parts = []
+    for _ in range(12000):
+        parts.append(b"abcd")
+        parts.append(rng.integers(0, 256, 2, dtype=np.uint8).tobytes())
+    raw = b"".join(parts)[:65536]
+    out, osz, stat = _encode([raw])
+    assert stat[0] == Status.SUCCESS
+    got = interop.zstd_decompress(out[0, :osz[0]].tobytes(), len(raw))
+    assert got == raw
+
+
+def test_encode_backend_dispatch_and_large_chunk_fallback():
+    """PALLAS_ENCODERS['zstd'] exists; above the 64 KiB kernel cap it
+    dispatches to the XLA multi-block encoder (checked via frame size)."""
+    from tpucomp.ops import pallas as pk
+    assert "zstd" in pk.PALLAS_ENCODERS
+    raw = synth.mixed_corpus(100_000, seed=9).tobytes()
+    cb = ChunkBatch.from_chunks([raw])
+    cap = fzstd.max_compressed_chunk_size(cb.max_chunk_bytes)
+    out, osz, stat = map(np.asarray, pk.PALLAS_ENCODERS["zstd"](
+        cb.data, cb.sizes, None, cap))
+    assert stat[0] == Status.SUCCESS
+    o, z, st = map(np.asarray,
+                   fzstd.decompress_batch(
+                       ChunkBatch.from_chunks(
+                           [out[0, :osz[0]].tobytes()]).data,
+                       np.array([osz[0]]), 100_000))
+    assert st[0] == Status.SUCCESS
+    assert o[0, :len(raw)].tobytes() == raw

@@ -615,117 +615,220 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: DeflateOpts,
     len_extra_n = jnp.asarray(LEN_EXTRA)[li]
     dist_extra_n = jnp.asarray(DIST_EXTRA)[di]
 
-    # ---- choose Huffman tables -----------------------------------------------------
+    # ---- choose Huffman tables + adaptive block segmentation ------------------------
+    # zlib emits a new dynamic block whenever the symbol statistics shift;
+    # one table per 64 KiB chunk leaves ~3-7% on heterogeneous data (STATUS
+    # ratio gap).  Candidate segmentations {1, 2, 4} blocks at fixed
+    # quarter boundaries are priced exactly (per-segment histograms dotted
+    # with each candidate's code lengths + header costs) and the cheapest
+    # wins; every block independently falls back to fixed tables.
     fixed_lit_codes_np = _assign_codes_np(FIXED_LIT_LENS, MAX_BITS)
     fixed_dist_codes_np = _assign_codes_np(FIXED_DIST_LENS, MAX_BITS)
-    lit_lens_t = jnp.asarray(FIXED_LIT_LENS)
-    lit_codes_t = jnp.asarray(fixed_lit_codes_np)
-    dist_lens_t = jnp.asarray(FIXED_DIST_LENS)
-    dist_codes_t = jnp.asarray(fixed_dist_codes_np)
-    use_dyn = jnp.bool_(False)
-    cl_fields_val = jnp.zeros((339,), jnp.int64)
-    cl_fields_bits = jnp.zeros((339,), jnp.int32)
+    fixed_ll = jnp.asarray(FIXED_LIT_LENS)
+    fixed_lc = jnp.asarray(fixed_lit_codes_np)
+    fixed_dl = jnp.asarray(FIXED_DIST_LENS)
+    fixed_dc = jnp.asarray(fixed_dist_codes_np)
 
-    if opts.algo in (1, 2):
-        lit_freq = jnp.zeros((288,), jnp.int32)
-        lit_freq = lit_freq.at[jnp.where(is_lit, data.astype(jnp.int32), 287)].add(
-            is_lit.astype(jnp.int32))
-        lit_freq = lit_freq.at[jnp.where(is_match, jnp.clip(lsym, 257, 285), 287)].add(
-            is_match.astype(jnp.int32))
-        lit_freq = lit_freq.at[287].set(0)
-        lit_freq = lit_freq.at[256].add(1)            # EOB
-        dist_freq = jnp.zeros((30,), jnp.int32).at[
-            jnp.where(is_match, jnp.clip(di, 0, 29), 29)].add(
-            is_match.astype(jnp.int32))
-        # ensure at least one distance code exists
-        no_match = jnp.sum(is_match.astype(jnp.int32)) == 0
-        dist_freq = dist_freq.at[0].add(jnp.where(no_match, 1, 0))
-
-        dyn_lit_lens, ok_l = _huff_lengths(lit_freq[:286], MAX_BITS)
-        dyn_dist_lens, ok_d = _huff_lengths(dist_freq, MAX_BITS)
-        dyn_lit_lens = jnp.pad(dyn_lit_lens, (0, 2))
-        dyn_dist_lens = jnp.pad(dyn_dist_lens, (0, 2))
-        dyn_lit_codes = _assign_codes(dyn_lit_lens, MAX_BITS)
-        dyn_dist_codes = _assign_codes(dyn_dist_lens, MAX_BITS)
-
-        # code-length (CL) table over the 316 emitted lengths (no 16/17/18 runs)
-        all_lens = jnp.concatenate([dyn_lit_lens[:286], dyn_dist_lens[:30]])
-        cl_freq = jnp.zeros((19,), jnp.int32).at[jnp.clip(all_lens, 0, 15)].add(1)
-        cl_lens, ok_c = _huff_lengths(cl_freq, 7)
-        cl_codes = _assign_codes(cl_lens, 7)
-
-        use_dyn = jnp.logical_and(ok_l, jnp.logical_and(ok_d, ok_c))
-
-        # pick the smaller encoding: compare total bits under both table sets
-        def table_bits(ll, dl, hdr_bits_total):
-            lit_b = jnp.sum(jnp.where(is_lit, ll[jnp.clip(dbyte_pre, 0, 287)], 0))
-            m_b = jnp.sum(jnp.where(
-                is_match,
-                ll[jnp.clip(lsym, 0, 287)] + len_extra_n
-                + dl[jnp.clip(di, 0, 31)] + dist_extra_n, 0))
-            return 3 + hdr_bits_total + lit_b + m_b + ll[256]
-
-        dbyte_pre = data.astype(jnp.int32)
-        cl_hdr_bits = (14 + 19 * 3
-                       + jnp.sum(cl_lens[jnp.clip(all_lens, 0, 15)]))
-        bits_fixed = table_bits(jnp.asarray(FIXED_LIT_LENS),
-                                jnp.asarray(FIXED_DIST_LENS), 0)
-        bits_dyn = table_bits(dyn_lit_lens, dyn_dist_lens, cl_hdr_bits)
-        use_dyn = jnp.logical_and(use_dyn, bits_dyn < bits_fixed)
-        lit_lens_t = jnp.where(use_dyn, dyn_lit_lens, lit_lens_t)
-        lit_codes_t = jnp.where(use_dyn, dyn_lit_codes, lit_codes_t)
-        dist_lens_t = jnp.where(use_dyn, dyn_dist_lens, dist_lens_t)
-        dist_codes_t = jnp.where(use_dyn, dyn_dist_codes, dist_codes_t)
-
-        # header fields: HLIT(5) HDIST(5) HCLEN(4), 19x3 CL lens (CL_ORDER),
-        # then 316 CL-coded length symbols
-        cl_order_t = jnp.asarray(CL_ORDER)
-        f_val = [jnp.int64(29), jnp.int64(29), jnp.int64(15)]
-        f_bits = [jnp.int32(5), jnp.int32(5), jnp.int32(4)]
-        hdr_val = jnp.stack(f_val)
-        hdr_bits = jnp.stack(f_bits)
-        clo_val = cl_lens[cl_order_t].astype(jnp.int64)
-        clo_bits = jnp.full((19,), 3, jnp.int32)
-        sym_val = _rev_bits(cl_codes[jnp.clip(all_lens, 0, 15)],
-                            cl_lens[jnp.clip(all_lens, 0, 15)]).astype(jnp.int64)
-        sym_bits = cl_lens[jnp.clip(all_lens, 0, 15)]
-        cl_fields_val = jnp.concatenate([hdr_val, clo_val, sym_val, jnp.zeros((1,), jnp.int64)])
-        cl_fields_bits = jnp.concatenate([hdr_bits, clo_bits, sym_bits, jnp.zeros((1,), jnp.int32)])
-        cl_fields_bits = jnp.where(use_dyn, cl_fields_bits, 0)
-
-    # ---- per-element fields ---------------------------------------------------------
+    dyn_on = opts.algo in (1, 2)
+    S = 4 if (dyn_on and cap % 4 == 0 and cap >= 16384) else 1
+    seg = cap // S
     dbyte = data.astype(jnp.int32)
-    lcode = _rev_bits(lit_codes_t[jnp.clip(dbyte, 0, 287)],
-                      lit_lens_t[jnp.clip(dbyte, 0, 287)])
-    lit_n = lit_lens_t[jnp.clip(dbyte, 0, 287)]
 
-    ls_c = jnp.clip(lsym, 0, 287)
-    m_val = _rev_bits(lit_codes_t[ls_c], lit_lens_t[ls_c]).astype(jnp.int64)
-    m_bits = lit_lens_t[ls_c]
-    m_val = m_val | (lev.astype(jnp.int64) << m_bits)
-    m_bits = m_bits + len_extra_n
-    dc = jnp.clip(di, 0, 31)
-    m_val = m_val | (_rev_bits(dist_codes_t[dc], dist_lens_t[dc]).astype(jnp.int64) << m_bits)
-    m_bits = m_bits + dist_lens_t[dc]
-    m_val = m_val | (dev.astype(jnp.int64) << m_bits)
-    m_bits = m_bits + dist_extra_n
+    def _el_fields(lit_lens_t, lit_codes_t, dist_lens_t, dist_codes_t, sl):
+        """Per-element bit fields for slice ``sl`` under the given tables."""
+        db = dbyte[sl]
+        lcode = _rev_bits(lit_codes_t[jnp.clip(db, 0, 287)],
+                          lit_lens_t[jnp.clip(db, 0, 287)])
+        lit_n = lit_lens_t[jnp.clip(db, 0, 287)]
+        ls_c = jnp.clip(lsym[sl], 0, 287)
+        m_val = _rev_bits(lit_codes_t[ls_c], lit_lens_t[ls_c]).astype(jnp.int64)
+        m_bits = lit_lens_t[ls_c]
+        m_val = m_val | (lev[sl].astype(jnp.int64) << m_bits)
+        m_bits = m_bits + len_extra_n[sl]
+        dc = jnp.clip(di[sl], 0, 31)
+        m_val = m_val | (_rev_bits(dist_codes_t[dc],
+                                   dist_lens_t[dc]).astype(jnp.int64) << m_bits)
+        m_bits = m_bits + dist_lens_t[dc]
+        m_val = m_val | (dev[sl].astype(jnp.int64) << m_bits)
+        m_bits = m_bits + dist_extra_n[sl]
+        e_val = jnp.where(is_lit[sl], lcode.astype(jnp.int64),
+                          jnp.where(is_match[sl], m_val, 0))
+        e_bits = jnp.where(is_lit[sl], lit_n,
+                           jnp.where(is_match[sl], m_bits, 0))
+        return e_val, e_bits
 
-    el_val = jnp.where(is_lit, lcode.astype(jnp.int64),
-             jnp.where(is_match, m_val, 0))
-    el_bits = jnp.where(is_lit, lit_n, jnp.where(is_match, m_bits, 0))
+    if dyn_on:
+        # per-segment histograms (litlen incl. length symbols; distances;
+        # table-independent extra bits)
+        seg_lh, seg_dh, seg_xb = [], [], []
+        for k in range(S):
+            sl = slice(k * seg, (k + 1) * seg)
+            il = is_lit[sl]
+            im = is_match[sl]
+            lh = jnp.zeros((288,), jnp.int32).at[
+                jnp.where(il, dbyte[sl], 287)].add(il.astype(jnp.int32))
+            lh = lh.at[jnp.where(im, jnp.clip(lsym[sl], 257, 285), 287)].add(
+                im.astype(jnp.int32))
+            lh = lh.at[287].set(0)
+            dh = jnp.zeros((30,), jnp.int32).at[
+                jnp.where(im, jnp.clip(di[sl], 0, 29), 29)].add(
+                im.astype(jnp.int32))
+            xb = jnp.sum(jnp.where(im, len_extra_n[sl] + dist_extra_n[sl], 0))
+            seg_lh.append(lh)
+            seg_dh.append(dh)
+            seg_xb.append(xb)
 
-    # EOB
-    eob_val = _rev_bits(lit_codes_t[256], lit_lens_t[256]).astype(jnp.int64)
-    eob_bits = lit_lens_t[256]
+        def block_tables(lo, hi):
+            """Tables + exact cost for a block over segments [lo, hi)."""
+            lit_freq = sum(seg_lh[lo:hi]).at[256].add(1)      # EOB
+            dist_freq = sum(seg_dh[lo:hi])
+            no_match = jnp.sum(dist_freq) == 0
+            dist_freq = dist_freq.at[0].add(jnp.where(no_match, 1, 0))
+            xbits = sum(seg_xb[lo:hi])
 
-    # block header: bfinal=1, btype (01 fixed / 10 dynamic), LSB-first
-    hdr3 = jnp.where(use_dyn, jnp.int64(0b101), jnp.int64(0b011))
+            dyn_lit_lens, ok_l = _huff_lengths(lit_freq[:286], MAX_BITS)
+            dyn_dist_lens, ok_d = _huff_lengths(dist_freq, MAX_BITS)
+            dyn_lit_lens = jnp.pad(dyn_lit_lens, (0, 2))
+            dyn_dist_lens = jnp.pad(dyn_dist_lens, (0, 2))
+            dyn_lit_codes = _assign_codes(dyn_lit_lens, MAX_BITS)
+            dyn_dist_codes = _assign_codes(dyn_dist_lens, MAX_BITS)
 
-    # ---- unified field list + bit serialization ------------------------------------
-    vals = jnp.concatenate([hdr3[None], cl_fields_val, el_val,
-                            eob_val[None]])
-    bits = jnp.concatenate([jnp.full((1,), 3, jnp.int32), cl_fields_bits,
-                            el_bits, eob_bits[None]])
+            # CL table over the 316 emitted lengths (no 16/17/18 runs)
+            all_lens = jnp.concatenate([dyn_lit_lens[:286],
+                                        dyn_dist_lens[:30]])
+            cl_freq = jnp.zeros((19,), jnp.int32).at[
+                jnp.clip(all_lens, 0, 15)].add(1)
+            cl_lens, ok_c = _huff_lengths(cl_freq, 7)
+            cl_codes = _assign_codes(cl_lens, 7)
+            use_dyn = jnp.logical_and(ok_l, jnp.logical_and(ok_d, ok_c))
+
+            cl_hdr_bits = (14 + 19 * 3
+                           + jnp.sum(cl_lens[jnp.clip(all_lens, 0, 15)]))
+            pay_fixed = (jnp.sum(lit_freq * fixed_ll)
+                         + jnp.sum(dist_freq * fixed_dl[:30]) + xbits)
+            pay_dyn = (jnp.sum(lit_freq * dyn_lit_lens)
+                       + jnp.sum(dist_freq * dyn_dist_lens[:30]) + xbits)
+            use_dyn = jnp.logical_and(use_dyn,
+                                      cl_hdr_bits + pay_dyn < pay_fixed)
+            cost = 3 + jnp.where(use_dyn, cl_hdr_bits + pay_dyn, pay_fixed)
+
+            ll = jnp.where(use_dyn, dyn_lit_lens, fixed_ll)
+            lc = jnp.where(use_dyn, dyn_lit_codes, fixed_lc)
+            dl = jnp.where(use_dyn, dyn_dist_lens, fixed_dl)
+            dcs = jnp.where(use_dyn, dyn_dist_codes, fixed_dc)
+
+            # header fields: HLIT(5) HDIST(5) HCLEN(4), 19x3 CL lens
+            # (CL_ORDER), then 316 CL-coded length symbols
+            cl_order_t = jnp.asarray(CL_ORDER)
+            hdr_val = jnp.stack([jnp.int64(29), jnp.int64(29), jnp.int64(15)])
+            hdr_bits = jnp.stack([jnp.int32(5), jnp.int32(5), jnp.int32(4)])
+            clo_val = cl_lens[cl_order_t].astype(jnp.int64)
+            clo_bits = jnp.full((19,), 3, jnp.int32)
+            sym_val = _rev_bits(cl_codes[jnp.clip(all_lens, 0, 15)],
+                                cl_lens[jnp.clip(all_lens, 0, 15)]
+                                ).astype(jnp.int64)
+            sym_bits = cl_lens[jnp.clip(all_lens, 0, 15)]
+            cfv = jnp.concatenate([hdr_val, clo_val, sym_val,
+                                   jnp.zeros((1,), jnp.int64)])
+            cfb = jnp.concatenate([hdr_bits, clo_bits, sym_bits,
+                                   jnp.zeros((1,), jnp.int32)])
+            cfb = jnp.where(use_dyn, cfb, 0)
+            return dict(ll=ll, lc=lc, dl=dl, dc=dcs, cfv=cfv, cfb=cfb,
+                        use_dyn=use_dyn, cost=cost)
+
+        if S == 4:
+            ranges = {(0, 4): block_tables(0, 4),
+                      (0, 2): block_tables(0, 2), (2, 4): block_tables(2, 4),
+                      (0, 1): block_tables(0, 1), (1, 2): block_tables(1, 2),
+                      (2, 3): block_tables(2, 3), (3, 4): block_tables(3, 4)}
+            cost1 = ranges[(0, 4)]["cost"]
+            cost2 = ranges[(0, 2)]["cost"] + ranges[(2, 4)]["cost"]
+            cost4 = (ranges[(0, 1)]["cost"] + ranges[(1, 2)]["cost"]
+                     + ranges[(2, 3)]["cost"] + ranges[(3, 4)]["cost"])
+            mask_id = jnp.where(
+                jnp.logical_and(cost2 < cost1, cost2 <= cost4), 1,
+                jnp.where(cost4 < cost1, 2, 0)).astype(jnp.int32)
+            # per segment under each mask: (range, header?, bfinal?, eob?)
+            seg_plan = [
+                # mask 0: one block
+                [((0, 4), True, True, k == 3) for k in range(4)],
+                # mask 1: halves
+                [((0, 2), k == 0, False, k == 1) if k < 2 else
+                 ((2, 4), k == 2, True, k == 3) for k in range(4)],
+                # mask 2: quarters
+                [((k, k + 1), True, k == 3, True) for k in range(4)],
+            ]
+            # fix header flags for merged blocks (header only at block start)
+            seg_plan[0] = [((0, 4), k == 0, True, k == 3) for k in range(4)]
+        else:
+            ranges = {(0, 1): block_tables(0, 1)}
+            mask_id = jnp.int32(0)
+            seg_plan = [[((0, 1), True, True, True)]]
+
+        def sel3(key):
+            """Select a per-range array by the traced mask_id (S==4)."""
+            def get(mi, k):
+                rng, _, _, _ = seg_plan[mi][k]
+                return ranges[rng][key]
+            return get
+
+        vals_parts, bits_parts = [], []
+        getter = sel3(None) if False else None
+        for k in range(S):
+            if S == 4:
+                opts3 = [seg_plan[mi][k] for mi in range(3)]
+                tabs = [ranges[o[0]] for o in opts3]
+
+                def pick(key, tabs=tabs):
+                    a, b2, c = (t[key] for t in tabs)
+                    return jnp.where(mask_id == 0, a,
+                                     jnp.where(mask_id == 1, b2, c))
+
+                ll_k, lc_k = pick("ll"), pick("lc")
+                dl_k, dc_k = pick("dl"), pick("dc")
+                cfv_k, cfb_k = pick("cfv"), pick("cfb")
+                ud_k = pick("use_dyn")
+                hdr_k = jnp.where(mask_id == 0, opts3[0][1],
+                                  jnp.where(mask_id == 1, opts3[1][1],
+                                            opts3[2][1]))
+                bf_k = jnp.where(mask_id == 0, opts3[0][2],
+                                 jnp.where(mask_id == 1, opts3[1][2],
+                                           opts3[2][2]))
+                eob_k = jnp.where(mask_id == 0, opts3[0][3],
+                                  jnp.where(mask_id == 1, opts3[1][3],
+                                            opts3[2][3]))
+            else:
+                t = ranges[(0, 1)]
+                ll_k, lc_k, dl_k, dc_k = t["ll"], t["lc"], t["dl"], t["dc"]
+                cfv_k, cfb_k, ud_k = t["cfv"], t["cfb"], t["use_dyn"]
+                hdr_k = jnp.bool_(True)
+                bf_k = jnp.bool_(True)
+                eob_k = jnp.bool_(True)
+
+            sl = slice(k * seg, (k + 1) * seg)
+            e_val, e_bits = _el_fields(ll_k, lc_k, dl_k, dc_k, sl)
+            # block header: BFINAL, then BTYPE LSB-first (01 fixed / 10 dyn)
+            hdr3_k = (bf_k.astype(jnp.int64)
+                      | jnp.where(ud_k, jnp.int64(0b100), jnp.int64(0b010)))
+            hdr3_b = jnp.where(hdr_k, jnp.int32(3), 0)
+            cfb_k = jnp.where(hdr_k, cfb_k, 0)
+            eob_val = _rev_bits(lc_k[256], ll_k[256]).astype(jnp.int64)
+            eob_bits = jnp.where(eob_k, ll_k[256], 0)
+            vals_parts += [hdr3_k[None], cfv_k, e_val, eob_val[None]]
+            bits_parts += [hdr3_b[None], cfb_k, e_bits, eob_bits[None]]
+
+        vals = jnp.concatenate(vals_parts)
+        bits = jnp.concatenate(bits_parts)
+    else:
+        # algo 0: fixed tables, single block
+        el_val, el_bits = _el_fields(fixed_ll, fixed_lc, fixed_dl, fixed_dc,
+                                     slice(0, cap))
+        eob_val = _rev_bits(fixed_lc[256], fixed_ll[256]).astype(jnp.int64)
+        eob_bits = fixed_ll[256]
+        hdr3 = jnp.int64(0b011)
+        vals = jnp.concatenate([hdr3[None], el_val, eob_val[None]])
+        bits = jnp.concatenate([jnp.full((1,), 3, jnp.int32), el_bits,
+                                eob_bits[None]])
     nf = vals.shape[0]
     bit_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(bits)[:-1].astype(jnp.int32)])

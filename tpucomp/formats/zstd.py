@@ -1153,28 +1153,22 @@ def get_decompress_size(comp: jax.Array, comp_size: jax.Array) -> jax.Array:
     return jnp.where(ok, fcs, 0).astype(jnp.int32)
 
 
-def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
-    """Build a Huffman-compressed 4-stream literal section (zstd format).
+TREE_CAP = 176  # direct <=65 B; FSE-weight <=128 B (header byte included)
 
-    Returns (section uint8[sec_cap], section_len, csize, ok).  ``ok`` is False
-    when Huffman coding is inapplicable (>128 explicit weights for the direct
-    tree representation, degenerate alphabets, or no size win) — callers then
-    emit raw literals.  Everything is parallel: weight construction reuses the
-    deflate Kraft-exact length builder (max 11 bits), codes follow zstd's
-    canonical order (longest codes first), and each of the four backward
-    streams is laid out by offset arithmetic + scatter-OR.
+
+def _huf_tree(freq: jax.Array):
+    """Canonical zstd Huffman table + serialized tree description from a
+    symbol histogram.
+
+    Returns ``(codes int32[256], nb int32[256], tree uint8[TREE_CAP],
+    tree_bytes, ok)`` — ``tree`` holds the complete tree-description region
+    (header byte + direct 4-bit weights or FSE-compressed weights, whichever
+    is smaller/applicable).  Shared by the XLA literal builder
+    (:func:`_huf_literals`) and the Pallas encoder wrapper
+    (:mod:`tpucomp.ops.pallas.zstd_encode`, which feeds a whole-chunk
+    histogram and emits the streams in-kernel).
     """
     from tpucomp.formats.deflate import _huff_lengths
-
-    # histogram over the literal buffer
-    li = jnp.arange(cap, dtype=jnp.int32)
-    valid = li < n_lit
-    freq = jnp.zeros((256,), jnp.int32).at[
-        jnp.where(valid, lit_bytes.astype(jnp.int32), 255)].add(
-        valid.astype(jnp.int32))
-    # the dump also hit bin 255; recount it exactly
-    c255 = jnp.sum(jnp.where(jnp.logical_and(valid, lit_bytes == 255), 1, 0)).astype(jnp.int32)
-    freq = freq.at[255].set(c255)
 
     lens, ok = _huff_lengths(freq, 11)
     present = lens > 0
@@ -1185,7 +1179,6 @@ def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
     weights = jnp.where(present, max_bits + 1 - lens, 0)
 
     ok = jnp.logical_and(ok, n_present >= 2)
-    ok = jnp.logical_and(ok, n_lit >= 64)
     direct_ok = max_sym <= 128                    # direct tree: <=128 explicit
 
     # canonical codes, zstd order: (nbits desc, symbol asc)
@@ -1293,6 +1286,38 @@ def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
     tree_hdr = jnp.where(use_fse_w, wthdr, tree_hdr)
     tree_bytes = jnp.where(use_fse_w, 1 + wthdr, direct_tree_bytes)
 
+    # assembled tree region: header byte + payload
+    tp = jnp.arange(TREE_CAP, dtype=jnp.int32)
+    payload = jnp.where(use_fse_w,
+                        wtree_u8[jnp.clip(tp - 1, 0, WTREE_CAP - 1)],
+                        tree_nib[jnp.clip(tp - 1, 0, 127)])
+    tree = jnp.where(tp == 0, tree_hdr.astype(jnp.uint8), payload)
+    tree = jnp.where(tp < tree_bytes, tree, 0).astype(jnp.uint8)
+    return codes, nb, tree, tree_bytes.astype(jnp.int32), ok
+
+
+def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
+    """Build a Huffman-compressed 4-stream literal section (zstd format).
+
+    Returns (section uint8[sec_cap], section_len, ok).  ``ok`` is False
+    when Huffman coding is inapplicable (degenerate alphabets, no size win)
+    — callers then emit raw literals.  Everything is parallel: the
+    table/tree comes from :func:`_huf_tree`, and each of the four backward
+    streams is laid out by offset arithmetic + scatter-OR.
+    """
+    # histogram over the literal buffer
+    li = jnp.arange(cap, dtype=jnp.int32)
+    valid = li < n_lit
+    freq = jnp.zeros((256,), jnp.int32).at[
+        jnp.where(valid, lit_bytes.astype(jnp.int32), 255)].add(
+        valid.astype(jnp.int32))
+    # the dump also hit bin 255; recount it exactly
+    c255 = jnp.sum(jnp.where(jnp.logical_and(valid, lit_bytes == 255), 1, 0)).astype(jnp.int32)
+    freq = freq.at[255].set(c255)
+
+    codes, nb, tree, tree_bytes, ok = _huf_tree(freq)
+    ok = jnp.logical_and(ok, n_lit >= 64)
+
     # four streams: 3 x ceil(n/4) then the rest
     per = (n_lit + 3) >> 2
     counts = jnp.stack([per, per, per, n_lit - 3 * per])
@@ -1367,12 +1392,8 @@ def _huf_literals(lit_bytes: jax.Array, n_lit: jax.Array, cap: int):
     w0 = w0 | ((csize & 0x3FFFF).astype(jnp.int64) << 22)
     hdr5 = ((w0[None] >> (8 * jnp.arange(5, dtype=jnp.int64))) & 0xFF).astype(jnp.uint8)
     sec = jnp.where(po < 5, hdr5[jnp.clip(po, 0, 4)], 0).astype(jnp.uint8)
-    sec = jnp.where(po == 5, tree_hdr.astype(jnp.uint8), sec)
-    tree_payload = jnp.where(use_fse_w,
-                             wtree_u8[jnp.clip(po - 6, 0, WTREE_CAP - 1)],
-                             tree_nib[jnp.clip(po - 6, 0, 127)])
-    sel = jnp.logical_and(po >= 6, po < 5 + tree_bytes)
-    sec = jnp.where(sel, tree_payload, sec)
+    sel = jnp.logical_and(po >= 5, po < 5 + tree_bytes)
+    sec = jnp.where(sel, tree[jnp.clip(po - 5, 0, TREE_CAP - 1)], sec)
     jo = 5 + tree_bytes
     jump = jnp.stack([sbytes[0] & 0xFF, sbytes[0] >> 8,
                       sbytes[1] & 0xFF, sbytes[1] >> 8,

@@ -18,6 +18,11 @@ kernels (one threadblock per chunk, ``doc/algorithms_overview.md:50-52``):
 - :mod:`.zstd_decode` — RFC 8878 frame decoder (FSE tables, normalized-count
   parser, Huffman weights incl. FSE-compressed, 1/4-stream backward literal
   streams, 3-state interleaved sequence decode with repeat offsets).
+- :mod:`.zstd_encode` — Zstd encoder (sort-matched walk, full 3-deep
+  repeat-offset stack, RFC 8878 predefined-FSE sequence bitstream, 4-stream
+  Huffman literals with the table built by the shared vectorized
+  ``_huf_tree`` outside the kernel) — completes TPU-speed compress for all
+  LZ-family formats.
 - :mod:`.ans_decode` — rANS decoder (fully vectorized: compare/one-hot table
   lookups + f32 matmul word distribution; no gathers, no scalar walk).  Its
   :func:`~tpucomp.ops.pallas.ans_decode.decode_block` and
@@ -211,10 +216,29 @@ def _gdeflate_compress_batch(data, sizes, opts, out_cap):
                                           interpret=interpret)
 
 
+def _zstd_compress_batch(data, sizes, opts, out_cap):
+    import jax
+    # the kernel is the throughput rung (predefined FSE + raw literals —
+    # the zstd analog of GDeflate algo 0); the XLA encoder keeps the ratio
+    # semantics (Huffman literals, custom FSE tables, 16 MB multi-block).
+    # Above the 64 KiB kernel cap the multi-block XLA program is the only
+    # valid producer anyway (128 KiB zstd block limit + block-local window).
+    from tpucomp.ops.pallas import zstd_encode
+    if data.shape[1] > zstd_encode.MAX_CAP:
+        from tpucomp.formats import zstd as fzstd
+        return fzstd.compress_batch(
+            data, sizes, opts if opts is not None else fzstd.DEFAULT_OPTS,
+            out_cap)
+    interpret = jax.default_backend() != "tpu"
+    return zstd_encode.compress_batch(data, sizes, out_cap,
+                                      interpret=interpret)
+
+
 PALLAS_ENCODERS = {
     "lz4": _lz4_compress_batch,
     "snappy": _snappy_compress_batch,
     "ans": _ans_compress_batch,
     "deflate": _deflate_compress_batch,
     "gdeflate": _gdeflate_compress_batch,
+    "zstd": _zstd_compress_batch,
 }

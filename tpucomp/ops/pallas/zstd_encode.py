@@ -1,0 +1,673 @@
+"""Pallas Zstd encoder: Huffman literals + predefined-FSE sequences.
+
+The TPU-side compress path for Zstd — the last format whose compress had no
+kernel (the reference compresses zstd on-device since 2.4,
+``/root/reference/CHANGELOG.md:80``; our XLA encoder is the portable/ratio
+path but its token scatters are the ~0.5 MB/s-class pattern PERF_MODEL.md
+declares dead on TPU).  Same architecture as :mod:`.deflate_encode`:
+
+- match finding comes from the vector sort pass (:mod:`tpucomp.ops.match`),
+  window = the whole chunk (offsets <= 65536 at the 64 KiB kernel cap);
+- the literal Huffman table is built OUTSIDE the kernel by the shared
+  vectorized builder (:func:`tpucomp.formats.zstd._huf_tree`) over the
+  whole-chunk histogram (sort + searchsorted — no scatters); the kernel
+  receives packed ``code|nbits<<12`` entries plus the serialized tree
+  description and only *emits* bits;
+- the scalar core walks the chunk at token rate (O(1) literal-run jumps via
+  ``next_match``, byte back-extension, 128-byte vector match extension) —
+  phase A stores (ll, ml, offset-value) triples in SMEM, block-copies
+  literal runs into the raw-literal position, and packs the same bytes
+  4-per-word into SMEM for the Huffman pass;
+- phase B first attempts the 4-stream Huffman literal section (each stream
+  encoded backward into high scratch, then block-copied into place iff it
+  beats raw literals), then re-walks the stored sequences *backward*,
+  driving the three interleaved FSE state machines (RFC 8878 predefined
+  tables, packed ``state|nbits<<8|baseline<<16`` in SMEM) and appending
+  LSB-first exactly the field order the in-tree decoders and
+  python-zstandard read top-down: per seq ``of_ub, ml_ub, ll_ub, ll_x,
+  ml_x, of_x`` (reversed), then the three initial states, then the padding
+  bit.  The full 3-deep repeat-offset stack is maintained during the walk.
+
+Output is a complete single-block zstd frame (4-byte FCS), decodable by
+python-zstandard and both in-tree decoders; a raw-block rewrite guarantees
+the incompressible bound (13 + size bytes).  The XLA encoder keeps the
+max-ratio semantics (literal-exact Huffman histograms, custom per-block FSE
+tables, 16 MB multi-block frames).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpucomp.constants import Status
+from tpucomp.formats import zstd as fzstd
+from tpucomp.ops import match as vmatch
+from tpucomp.ops.pallas import bytecopy as bc
+
+MIN_MATCH = 4
+SLAB = 4096
+MAX_CAP = 65536  # 16-bit (ll, ml-3) packing; dispatch falls back above
+
+# ---- constant table (SMEM): code lookups + packed predefined FSE encoders ----
+# zstd's own LL_Code[64] / ML_Code[128] lookup (beyond: highbit + delta)
+_LL_CODE64 = np.array(
+    list(range(16)) + [16, 16, 17, 17, 18, 18, 19, 19]
+    + [20] * 4 + [21] * 4 + [22] * 8 + [23] * 8 + [24] * 16, np.int32)
+_ML_CODE128 = np.array(
+    list(range(32)) + [32, 32, 33, 33, 34, 34, 35, 35]
+    + [36] * 4 + [37] * 4 + [38] * 8 + [39] * 8
+    + [40] * 16 + [41] * 16 + [42] * 32, np.int32)
+_LL_XTRA = ((fzstd.LL_BASE.astype(np.int64) << 8)
+            | fzstd.LL_BITS).astype(np.int32)          # base<<8 | nbits
+_ML_XTRA = ((fzstd.ML_BASE.astype(np.int64) << 8)
+            | fzstd.ML_BITS).astype(np.int32)
+
+
+def _pack_enc(enc):
+    st, nb, bs, first = enc
+    return ((st | (nb << 8) | (bs << 16)).reshape(-1).astype(np.int32),
+            first.astype(np.int32))
+
+
+_LLE, _LLF = _pack_enc(fzstd.LL_ENC)
+_MLE, _MLF = _pack_enc(fzstd.ML_ENC)
+_OFE, _OFF = _pack_enc(fzstd.OF_ENC)
+
+_PARTS = [_LL_CODE64, _ML_CODE128, _LL_XTRA, _ML_XTRA,
+          _LLE, _MLE, _OFE, _LLF, _MLF, _OFF]
+_OFFS = np.cumsum([0] + [p.shape[0] for p in _PARTS])
+(O_LLC, O_MLC, O_LLX, O_MLX, O_LLE, O_MLE, O_OFE,
+ O_LLF, O_MLF, O_OFF) = [int(x) for x in _OFFS[:10]]
+_CONST = np.concatenate(_PARTS)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
+            hi_base: int,
+            size_ref, words_ref, cand_ref, nxt_ref, const_ref, huf_ref,
+            tree_ref, lanes_ref,
+            out_ref, osize_ref, stat_ref, st_ref, seqa_ref, seqb_ref,
+            litw_ref):
+    b = pl.program_id(0)
+    s = pl.program_id(1)
+    size = size_ref[b]
+    base = s * SLAB
+    wend = base + SLAB
+    mflimit = size - MIN_MATCH + 1
+    LIT0 = jnp.int32(16)  # 10 frame hdr + 3 block hdr + 3 raw literal hdr
+
+    @pl.when(s == 0)
+    def _():
+        st_ref[0] = jnp.int32(0)   # anchor
+        st_ref[1] = jnp.int32(0)   # scan
+        st_ref[2] = jnp.int32(0)   # literal bytes copied
+        st_ref[3] = jnp.int32(0)   # nseq
+        st_ref[4] = jnp.int32(1)   # repeat-offset stack r0 (RFC initial 1)
+        st_ref[5] = jnp.int32(4)   # r1
+        st_ref[6] = jnp.int32(8)   # r2
+        st_ref[7] = jnp.int32(0)   # literal word accumulator (litw packing)
+
+    def load32(i):
+        wi = i >> 2
+        w0 = words_ref[0, 0, wi]
+        w1 = words_ref[0, 0, wi + 1]
+        sh = (i & 3) * 8
+        lo = jax.lax.shift_right_logical(w0, sh)
+        hi = jax.lax.shift_left(jax.lax.shift_left(w1, 31 - sh), jnp.int32(1))
+        return lo | hi
+
+    def getb(i):
+        ic = jnp.clip(i, jnp.int32(0), jnp.int32(4 * w_words - 1))
+        w = words_ref[0, 0, ic >> 2]
+        return (w >> ((i & 3) * 8)) & 0xFF
+
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, bc.BLK), 1)
+
+    def flush4(op, lo):
+        v = jnp.where(lane_i == 0, lo & 0xFF,
+                      jnp.where(lane_i == 1,
+                                jax.lax.shift_right_logical(lo, jnp.int32(8))
+                                & 0xFF,
+                                jnp.where(
+                                    lane_i == 2,
+                                    jax.lax.shift_right_logical(
+                                        lo, jnp.int32(16)) & 0xFF,
+                                    jax.lax.shift_right_logical(
+                                        lo, jnp.int32(24)) & 0xFF)))
+        bc.store128_wild(out_ref, op, v.astype(jnp.int32))
+        return op + 4
+
+    def put(st, v, n):
+        """Append n (<=16) LSB-first bits of v; flush on 32."""
+        op, lo, hi, nb = st
+        lo = lo | jax.lax.shift_left(v, nb)
+        hi = hi | jax.lax.shift_right_logical(
+            jax.lax.shift_right_logical(v, 31 - nb), jnp.int32(1))
+        nb = nb + n
+
+        def do_flush(a):
+            op, lo, hi, nb = a
+            op = flush4(op, lo)
+            return op, hi, jnp.int32(0), nb - 32
+
+        return jax.lax.cond(nb >= 32, do_flush, lambda a: a,
+                            (op, lo, hi, nb))
+
+    def flush_tail(st4):
+        """Drain residual whole bytes; returns the final byte position."""
+        def fcond(a):
+            return a[3] > 0
+
+        def fbody(a):
+            op, lo, hi, nb = a
+            bc.store128_wild(out_ref, op,
+                             jnp.broadcast_to(lo & 0xFF, (1, bc.BLK))
+                             .astype(jnp.int32))
+            lo = (jax.lax.shift_right_logical(lo, jnp.int32(8))
+                  | jax.lax.shift_left(hi, jnp.int32(24)))
+            hi = jax.lax.shift_right_logical(hi, jnp.int32(8))
+            return op + 1, lo, hi, jnp.maximum(nb - 8, 0)
+
+        op, _, _, _ = jax.lax.while_loop(fcond, fbody, st4)
+        return op
+
+    SCALAR_CAP = 32
+
+    def match_len(a, c, cap_n):
+        def s_cond(st):
+            l, go = st
+            return go
+
+        def s_body(st):
+            l, _ = st
+            x = load32(a + l) ^ load32(c + l)
+            eq4 = x == 0
+            sub = ((x & 0xFF) == 0).astype(jnp.int32) \
+                + ((x & 0xFFFF) == 0).astype(jnp.int32) \
+                + ((x & 0xFFFFFF) == 0).astype(jnp.int32)
+            l2 = l + jnp.where(eq4, jnp.int32(4), sub)
+            go = jnp.logical_and(eq4, jnp.logical_and(l2 < cap_n,
+                                                      l2 < SCALAR_CAP))
+            return l2, go
+
+        l, _ = jax.lax.while_loop(s_cond, s_body, (jnp.int32(0), cap_n > 0))
+
+        def v_tail(l0):
+            def cond(st):
+                l, first = st
+                return jnp.logical_and(first == bc.BLK, l < cap_n)
+
+            def body(st):
+                l, _ = st
+                wa = bc.window128(lanes_ref, a + l)
+                wc = bc.window128(lanes_ref, c + l)
+                neq = wa != wc
+                idx = jnp.min(jnp.where(neq, lane_i, jnp.int32(bc.BLK)),
+                              keepdims=True)[0, 0]
+                return l + idx, idx
+
+            l2, _ = jax.lax.while_loop(cond, body, (l0, jnp.int32(bc.BLK)))
+            return l2
+
+        l = jax.lax.cond(l >= SCALAR_CAP, v_tail, lambda l0: l0, l)
+        return jnp.minimum(l, cap_n)
+
+    def pack_lits(start, count, litcnt, cur):
+        """Append ``count`` source bytes at ``start`` to the packed literal
+        words (4 bytes per int32, sequential — no zero-init needed: each
+        store rewrites the full current word)."""
+        def lbody(t, cur):
+            bb = getb(start + t)
+            p = litcnt + t
+            sh = (p & 3) * 8
+            cur = jnp.where(sh == 0, bb,
+                            cur | jax.lax.shift_left(bb, sh))
+            litw_ref[p >> 2] = cur
+            return cur
+
+        return jax.lax.fori_loop(jnp.int32(0), count, lbody, cur)
+
+    # ---- phase A: token walk — copy literals, store sequence triples -----
+    def wcond(carry):
+        return carry[8]
+
+    def wbody(carry):
+        anchor, scan, litcnt, nseq, r0, r1, r2, cur, _ = carry
+        nm = nxt_ref[0, 0, scan - base]
+
+        def take(a):
+            anchor, scan, litcnt, nseq, r0, r1, r2, cur = a
+            c = nm - cand_ref[0, 0, nm - base]   # offset (>=1, <= chunk size)
+            src = nm - c
+
+            def bcond(st2):
+                nm2, src2 = st2
+                return jnp.logical_and(
+                    jnp.logical_and(nm2 > anchor, src2 > 0),
+                    getb(nm2 - 1) == getb(src2 - 1))
+
+            def bbody(st2):
+                nm2, src2 = st2
+                return nm2 - 1, src2 - 1
+
+            nm2, src2 = jax.lax.while_loop(bcond, bbody, (nm, src))
+            back = nm - nm2
+            ml = back + MIN_MATCH + match_len(
+                nm + MIN_MATCH, src + MIN_MATCH, size - (nm + MIN_MATCH))
+            ll = nm2 - anchor
+            bc.copy_bytes(lanes_ref, out_ref, anchor, LIT0 + litcnt, ll)
+            cur = pack_lits(anchor, ll, litcnt, cur)
+            # full 3-deep repeat-offset stack (RFC 8878 3.1.1.3.2.1.1) —
+            # Offset_Value 1/2/3 address the rolling recent-offset history;
+            # the decoder-side update rules are mirrored exactly (see
+            # formats/zstd.py rep_step and the decoders' consumer side)
+            with_lit = ll > 0
+            ofv = jnp.where(
+                with_lit,
+                jnp.where(c == r0, 1,
+                          jnp.where(c == r1, 2,
+                                    jnp.where(c == r2, 3, c + 3))),
+                jnp.where(c == r1, 1,
+                          jnp.where(c == r2, 2, c + 3)))
+            keep = jnp.logical_and(with_lit, ofv == 1)
+            n1 = jnp.where(keep, r1, r0)
+            n2 = jnp.where(
+                jnp.logical_or(jnp.logical_and(with_lit, ofv <= 2),
+                               jnp.logical_and(jnp.logical_not(with_lit),
+                                               ofv == 1)), r2, r1)
+            n0 = jnp.where(keep, r0, c)
+            seqa_ref[nseq] = ll | jax.lax.shift_left(ml - 3, jnp.int32(16))
+            seqb_ref[nseq] = ofv
+            nip = nm2 + ml
+            return nip, nip, litcnt + ll, nseq + 1, n0, n1, n2, cur
+
+        in_win = nm < wend
+        room = nseq < cap_seq
+        usable = jnp.logical_and(in_win,
+                                 jnp.logical_and(nm < mflimit, room))
+        anchor, scan, litcnt, nseq, r0, r1, r2, cur = jax.lax.cond(
+            usable, take,
+            lambda a: (a[0],
+                       jnp.where(in_win, jnp.maximum(size, wend), nm),
+                       a[2], a[3], a[4], a[5], a[6], a[7]),
+            (anchor, scan, litcnt, nseq, r0, r1, r2, cur))
+        cont = jnp.logical_and(scan < wend, scan < mflimit)
+        scan = jnp.where(scan < mflimit, scan, jnp.maximum(scan, size))
+        return anchor, scan, litcnt, nseq, r0, r1, r2, cur, cont
+
+    anchor0, scan0 = st_ref[0], st_ref[1]
+    lit0, nseq0 = st_ref[2], st_ref[3]
+    r0_0, r1_0, r2_0, cur0 = st_ref[4], st_ref[5], st_ref[6], st_ref[7]
+    run = jnp.logical_and(scan0 < wend, jnp.logical_and(scan0 >= base,
+                                                        scan0 < mflimit))
+    anchor, scan, litcnt, nseq, r0, r1, r2, cur, _ = jax.lax.while_loop(
+        wcond, wbody,
+        (anchor0, jnp.maximum(scan0, base), lit0, nseq0, r0_0, r1_0, r2_0,
+         cur0, run))
+    st_ref[0] = jnp.where(run, anchor, anchor0)
+    st_ref[1] = jnp.where(run, scan, scan0)
+    st_ref[2] = jnp.where(run, litcnt, lit0)
+    st_ref[3] = jnp.where(run, nseq, nseq0)
+    st_ref[4] = jnp.where(run, r0, r0_0)
+    st_ref[5] = jnp.where(run, r1, r1_0)
+    st_ref[6] = jnp.where(run, r2, r2_0)
+    st_ref[7] = jnp.where(run, cur, cur0)
+
+    # ---- phase B: literal section + backward FSE sequence bitstream ------
+    @pl.when(s == n_slabs - 1)
+    def _():
+        anchor = st_ref[0]
+        litcnt = st_ref[2]
+        nseq = st_ref[3]
+        ntr = size - anchor
+        bc.copy_bytes(lanes_ref, out_ref, anchor, LIT0 + litcnt, ntr)
+        pack_lits(anchor, ntr, litcnt, st_ref[7])
+        n_lit = litcnt + ntr
+
+        # -- literal section: attempt 4-stream Huffman into high scratch --
+        tree_b = huf_ref[0, 0, 256]
+        try_huf = jnp.logical_and(huf_ref[0, 0, 257] > 0, n_lit >= 64)
+
+        def huf_attempt(_):
+            per = (n_lit + 3) >> 2
+            op = jnp.int32(hi_base)
+            sb = [jnp.int32(0)] * 4
+            for k in range(4):
+                cnt = jnp.where(jnp.int32(k) < 3, per, n_lit - 3 * per)
+                start = jnp.int32(k) * per
+
+                def sbody(t, st4, cnt=cnt, start=start):
+                    idx = start + cnt - 1 - t
+                    w = litw_ref[idx >> 2]
+                    bb = jax.lax.shift_right_logical(
+                        w, (idx & 3) * 8) & 0xFF
+                    pk = huf_ref[0, 0, bb]
+                    return put(st4, pk & 0xFFF,
+                               jax.lax.shift_right_logical(pk, jnp.int32(12)))
+
+                st4 = jax.lax.fori_loop(
+                    jnp.int32(0), cnt, sbody,
+                    (op, jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+                st4 = put(st4, jnp.int32(1), jnp.int32(1))  # sentinel bit
+                op2 = flush_tail(st4)
+                sb[k] = op2 - op
+                op = op2
+            s_total = op - hi_base
+            csize = tree_b + 6 + s_total
+            use = ((5 + csize) < (3 + n_lit)).astype(jnp.int32)
+            return use, sb[0], sb[1], sb[2], s_total
+
+        use_huf, sb0, sb1, sb2, s_total = jax.lax.cond(
+            try_huf, huf_attempt,
+            lambda _: (jnp.int32(0),) * 5, jnp.int32(0))
+
+        def place_huf(_):
+            # tree description, then jump table, then the four streams
+            bc.copy_bytes(tree_ref, out_ref, jnp.int32(0), jnp.int32(18),
+                          tree_b)
+            jo = 18 + tree_b
+            jv = jnp.where(lane_i == 0, sb0 & 0xFF,
+                 jnp.where(lane_i == 1,
+                           jax.lax.shift_right_logical(sb0, jnp.int32(8)),
+                 jnp.where(lane_i == 2, sb1 & 0xFF,
+                 jnp.where(lane_i == 3,
+                           jax.lax.shift_right_logical(sb1, jnp.int32(8)),
+                 jnp.where(lane_i == 4, sb2 & 0xFF,
+                           jax.lax.shift_right_logical(sb2, jnp.int32(8)))))))
+            bc.store128_masked(out_ref, jo, jv.astype(jnp.int32),
+                               jnp.int32(6))
+            # streams: downward same-buffer copy; gap >= one block since
+            # hi_base sits past the whole raw-literal region
+            bc.copy_bytes(out_ref, out_ref, jnp.int32(hi_base), jo + 6,
+                          s_total)
+            csize = tree_b + 6 + s_total
+            # 5-byte literal header: type=2 (Compressed), fmt=3 (18+18 bits)
+            w_lo = (jnp.int32(2) | (3 << 2)
+                    | jax.lax.shift_left(n_lit & 0x3FFFF, jnp.int32(4))
+                    | jax.lax.shift_left(csize & 0x3FF, jnp.int32(22)))
+            w_hi = jax.lax.shift_right_logical(csize, jnp.int32(10)) & 0xFF
+            hv = jnp.where(lane_i == 0, w_lo & 0xFF,
+                 jnp.where(lane_i == 1,
+                           jax.lax.shift_right_logical(w_lo, jnp.int32(8))
+                           & 0xFF,
+                 jnp.where(lane_i == 2,
+                           jax.lax.shift_right_logical(w_lo, jnp.int32(16))
+                           & 0xFF,
+                 jnp.where(lane_i == 3,
+                           jax.lax.shift_right_logical(w_lo, jnp.int32(24))
+                           & 0xFF, w_hi))))
+            bc.store128_masked(out_ref, jnp.int32(13), hv.astype(jnp.int32),
+                               jnp.int32(5))
+            return 13 + 5 + csize
+
+        def place_raw(_):
+            # 3-byte raw literal header (Size_Format 3: 20-bit size); the
+            # literal bytes already sit at LIT0 from the phase-A copies
+            lh0 = (3 << 2) | jax.lax.shift_left(n_lit & 0xF, jnp.int32(4))
+            v = jnp.where(lane_i == 0, lh0,
+                          jnp.where(lane_i == 1,
+                                    jax.lax.shift_right_logical(
+                                        n_lit, jnp.int32(4)) & 0xFF,
+                                    jax.lax.shift_right_logical(
+                                        n_lit, jnp.int32(12)) & 0xFF))
+            bc.store128_masked(out_ref, jnp.int32(13), v.astype(jnp.int32),
+                               jnp.int32(3))
+            return 16 + n_lit
+
+        o1 = jax.lax.cond(use_huf > 0, place_huf, place_raw, jnp.int32(0))
+
+        # -- sequences section ---------------------------------------------
+        def with_seqs(_):
+            def body(j, st):
+                op, lo, hi, nb, s_ll, s_ml, s_of = st
+                i = nseq - 1 - j
+                a = seqa_ref[i]
+                ofv = seqb_ref[i]
+                ll = a & 0xFFFF
+                mlv = jax.lax.shift_right_logical(a, jnp.int32(16)) & 0xFFFF
+                llc = jnp.where(
+                    ll < 64, const_ref[O_LLC + jnp.minimum(ll, 63)],
+                    19 + 31 - jax.lax.clz(ll))
+                mlc = jnp.where(
+                    mlv < 128, const_ref[O_MLC + jnp.minimum(mlv, 127)],
+                    36 + 31 - jax.lax.clz(jnp.maximum(mlv, 1)))
+                ofc = 31 - jax.lax.clz(ofv)
+                llpk = const_ref[O_LLX + llc]
+                mlpk = const_ref[O_MLX + mlc]
+                ll_x = ll - jax.lax.shift_right_logical(llpk, jnp.int32(8))
+                ll_b = llpk & 0xFF
+                ml_x = mlv + 3 - jax.lax.shift_right_logical(mlpk,
+                                                             jnp.int32(8))
+                ml_b = mlpk & 0xFF
+                of_x = ofv - jax.lax.shift_left(jnp.int32(1), ofc)
+                st4 = (op, lo, hi, nb)
+
+                def init(st4):
+                    # last sequence: initialize the three states, no bits
+                    return (st4, const_ref[O_LLF + llc],
+                            const_ref[O_MLF + mlc], const_ref[O_OFF + ofc])
+
+                def trans(st4):
+                    # transition bits for seq i (decoder reads them during
+                    # seq i's state update, from state s_{i+1} and sym_i);
+                    # append order of_ub, ml_ub, ll_ub = reversed decode
+                    pk = const_ref[O_OFE + ofc * 32 + s_of]
+                    st4 = put(st4,
+                              s_of - (jax.lax.shift_right_logical(
+                                  pk, jnp.int32(16)) & 0xFF),
+                              jax.lax.shift_right_logical(
+                                  pk, jnp.int32(8)) & 0xFF)
+                    n_of = pk & 0xFF
+                    pk = const_ref[O_MLE + mlc * 64 + s_ml]
+                    st4 = put(st4,
+                              s_ml - (jax.lax.shift_right_logical(
+                                  pk, jnp.int32(16)) & 0xFF),
+                              jax.lax.shift_right_logical(
+                                  pk, jnp.int32(8)) & 0xFF)
+                    n_ml = pk & 0xFF
+                    pk = const_ref[O_LLE + llc * 64 + s_ll]
+                    st4 = put(st4,
+                              s_ll - (jax.lax.shift_right_logical(
+                                  pk, jnp.int32(16)) & 0xFF),
+                              jax.lax.shift_right_logical(
+                                  pk, jnp.int32(8)) & 0xFF)
+                    n_ll = pk & 0xFF
+                    return st4, n_ll, n_ml, n_of
+
+                st4, s_ll, s_ml, s_of = jax.lax.cond(j == 0, init, trans,
+                                                     st4)
+                st4 = put(st4, ll_x, ll_b)
+                st4 = put(st4, ml_x, ml_b)
+                st4 = put(st4, of_x, ofc)
+                op, lo, hi, nb = st4
+                return op, lo, hi, nb, s_ll, s_ml, s_of
+
+            op, lo, hi, nb, s_ll, s_ml, s_of = jax.lax.fori_loop(
+                0, nseq, body,
+                (o1 + 3, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+            # initial states, reversed decode order (decoder reads LL,OF,ML)
+            st4 = (op, lo, hi, nb)
+            st4 = put(st4, s_ml, jnp.int32(6))
+            st4 = put(st4, s_of, jnp.int32(5))
+            st4 = put(st4, s_ll, jnp.int32(6))
+            st4 = put(st4, jnp.int32(1), jnp.int32(1))   # padding bit
+            return flush_tail(st4)
+
+        total = jax.lax.cond(nseq > 0, with_seqs, lambda _: o1 + 1,
+                             jnp.int32(0))
+
+        raw_total = 13 + size
+        use_raw = total >= raw_total
+
+        def raw_fix(_):
+            bc.copy_bytes(lanes_ref, out_ref, jnp.int32(0), jnp.int32(13),
+                          size)
+            return raw_total, jnp.int32(1) | jax.lax.shift_left(
+                size, jnp.int32(3))
+
+        def comp_fix(_):
+            # sequence count (2-byte form) + SCM byte (0: all predefined)
+            nb0 = jnp.where(nseq == 0, jnp.int32(0),
+                            128 + jax.lax.shift_right_logical(nseq,
+                                                              jnp.int32(8)))
+            v2 = jnp.where(lane_i == 0, nb0,
+                           jnp.where(lane_i == 1, nseq & 0xFF, jnp.int32(0)))
+            bc.store128_masked(out_ref, o1, v2.astype(jnp.int32),
+                               jnp.where(nseq == 0, jnp.int32(1),
+                                         jnp.int32(3)))
+            return total, jnp.int32(1) | (2 << 1) | jax.lax.shift_left(
+                total - 13, jnp.int32(3))
+
+        total, bh = jax.lax.cond(use_raw, raw_fix, comp_fix, jnp.int32(0))
+
+        # frame header: magic, FHD (4-byte FCS), window descriptor, FCS
+        bl = 32 - jax.lax.clz(jnp.maximum(size - 1, 1))
+        wl = jnp.where(size <= 1024, jnp.int32(10), jnp.maximum(bl, 10))
+        hvals = [jnp.int32(0x28), jnp.int32(0xB5), jnp.int32(0x2F),
+                 jnp.int32(0xFD), jnp.int32(0x80),
+                 jax.lax.shift_left(wl - 10, jnp.int32(3)),
+                 size & 0xFF,
+                 jax.lax.shift_right_logical(size, jnp.int32(8)) & 0xFF,
+                 jax.lax.shift_right_logical(size, jnp.int32(16)) & 0xFF,
+                 jax.lax.shift_right_logical(size, jnp.int32(24)) & 0xFF,
+                 bh & 0xFF,
+                 jax.lax.shift_right_logical(bh, jnp.int32(8)) & 0xFF,
+                 jax.lax.shift_right_logical(bh, jnp.int32(16)) & 0xFF]
+        hv = jnp.zeros((1, bc.BLK), jnp.int32)
+        for k, val in enumerate(hvals):
+            hv = hv + jnp.where(lane_i == k, val, 0)
+        bc.store128_masked(out_ref, jnp.int32(0), hv, jnp.int32(13))
+
+        too_big = total > out_cap
+        osize_ref[b] = jnp.where(too_big, jnp.int32(0), total)
+        stat_ref[b] = jnp.where(
+            too_big, jnp.int32(Status.ERROR_OUTPUT_BUFFER_TOO_SMALL),
+            jnp.int32(Status.SUCCESS))
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
+def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
+                   interpret: bool = False):
+    """Batched Zstd encode, Pallas backend.  Same contract as
+    :func:`tpucomp.formats.zstd.compress_batch` (complete zstd frames; the
+    literal/entropy choices differ — both decode with python-zstandard and
+    the in-tree decoders).  Chunk cap <= 64 KiB (dispatch falls back to the
+    XLA multi-block encoder above)."""
+    B, cap = data.shape
+    if cap > MAX_CAP:
+        raise ValueError(f"zstd Pallas encoder supports cap <= {MAX_CAP}")
+    sizes = sizes.astype(jnp.int32)
+
+    cand, nxt = vmatch.candidates(data, sizes, window=MAX_CAP)
+    n_slabs = max(1, -(-cap // SLAB))
+    pad_to = n_slabs * SLAB
+    cand = jnp.pad(cand, ((0, 0), (0, pad_to - cap)))
+    nxt = jnp.pad(jnp.minimum(nxt, pad_to - 1),
+                  ((0, 0), (0, pad_to - cap)), constant_values=pad_to - 1)
+    cand = cand.reshape(B, 1, pad_to)
+    nxt = nxt.reshape(B, 1, pad_to)
+
+    wpad = _round_up(max(cap, 8), 4) + 4
+    cw = jnp.pad(data, ((0, 0), (0, wpad - cap))).astype(jnp.int32)
+    cw = cw.reshape(B, 1, wpad // 4, 4)
+    words = (cw[..., 0] | (cw[..., 1] << 8) | (cw[..., 2] << 16)
+             | (cw[..., 3] << 24))
+
+    lpad = _round_up(cap, bc.BLK) + bc.PAD_BYTES
+    lanes = jnp.pad(data, ((0, 0), (0, lpad - cap))).astype(jnp.int32)
+    lanes = lanes.reshape(B, lpad // bc.BLK, bc.BLK)
+
+    # literal Huffman table: whole-chunk histogram (sort + searchsorted —
+    # no scatters; match-covered bytes pollute the stats slightly but every
+    # literal byte is guaranteed a code) -> shared canonical builder
+    def _freq_chunk(args):
+        d, sz = args
+        x = jnp.where(jnp.arange(cap, dtype=jnp.int32) < sz,
+                      d.astype(jnp.int32), jnp.int32(256))
+        sx = jnp.sort(x)
+        edges = jnp.searchsorted(sx, jnp.arange(257, dtype=jnp.int32),
+                                 side="left").astype(jnp.int32)
+        return edges[1:] - edges[:-1]
+
+    freq = jax.lax.map(_freq_chunk, (data, sizes))
+    codes, nbits, tree_u8, tree_bytes, tok = jax.vmap(fzstd._huf_tree)(freq)
+    tot = jnp.maximum(jnp.sum(freq, axis=1), 1)
+    est_bits = jnp.sum(freq * nbits, axis=1)
+    # skip the in-kernel attempt when the whole-chunk estimate says the
+    # table cannot beat raw literals (avg >= 7.5 bits/byte)
+    huf_ok = jnp.logical_and(tok, est_bits * 8 <= tot * 60)
+    hufpk = (codes | (nbits << 12)).astype(jnp.int32)
+    huf_meta = jnp.concatenate(
+        [hufpk, tree_bytes[:, None],
+         huf_ok.astype(jnp.int32)[:, None]], axis=1).reshape(B, 1, 258)
+    TREE_ROWS = 4
+    tree_lanes = jnp.pad(tree_u8.astype(jnp.int32),
+                         ((0, 0), (0, TREE_ROWS * bc.BLK - fzstd.TREE_CAP
+                           + bc.PAD_BYTES)))
+    tree_rows_tot = tree_lanes.shape[1] // bc.BLK
+    tree_lanes = tree_lanes.reshape(B, tree_rows_tot, bc.BLK)
+
+    # every sequence consumes >= MIN_MATCH input bytes, so cap//4 slots make
+    # triple-buffer overflow impossible (the in-kernel room check stays as a
+    # zero-cost invariant guard)
+    cap_seq = cap // 4 + 8
+    # [frame|raw literals][high scratch: 4 Huffman streams] + FSE stream
+    hi_base = 16 + cap + 64
+    buf_cap = max(out_cap, hi_base + (11 * cap) // 8 + 9 * cap_seq + 192)
+    out_rows = (_round_up(buf_cap, bc.BLK) + bc.PAD_BYTES) // bc.BLK
+    const = jnp.asarray(_CONST)
+
+    with jax.enable_x64(False):
+        out_lanes, osz, stat = pl.pallas_call(
+            functools.partial(_kernel, out_cap, wpad // 4, n_slabs, cap_seq,
+                              hi_base),
+            grid=(B, n_slabs),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, wpad // 4), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, 258), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, tree_rows_tot, bc.BLK),
+                             lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, lpad // bc.BLK, bc.BLK),
+                             lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, out_rows, bc.BLK), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, out_rows, bc.BLK), jnp.int32),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.SMEM((8,), jnp.int32),
+                            pltpu.SMEM((cap_seq,), jnp.int32),
+                            pltpu.SMEM((cap_seq,), jnp.int32),
+                            pltpu.SMEM((cap // 4 + 8,), jnp.int32)],
+            interpret=interpret,
+        )(sizes, words, cand, nxt, const, huf_meta, tree_lanes, lanes)
+
+    out = out_lanes.reshape(B, out_rows * bc.BLK)[:, :out_cap]
+    opos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    out = jnp.where(opos < osz[:, None], out, 0).astype(jnp.uint8)
+    return out, osz, stat
