@@ -184,3 +184,72 @@ class TestRobustness:
         comp[len(comp) // 2] ^= 0x10
         got, stat = our_decode([bytes(comp)])
         assert stat[0] != Status.SUCCESS or got[0] != data
+
+
+class TestHuffmanPowerOfTwoWeightSum:
+    """Regression: explicit Huffman weights summing to an EXACT power of two.
+
+    zstd's HUF_readStats sets tableLog = highbit(sum)+1 — a strictly greater
+    power of two — so sum=4 means tableLog=3 and implied last weight 3, NOT
+    rest==0/corrupt.  Round 3 shipped decoders that rejected such frames
+    (status 12) while python-zstandard accepted them.  The frame below is
+    hand-assembled with direct weights [2,1,1] (sum 2+1+1=4) and verified
+    against python-zstandard before being fed to every in-tree decoder.
+    """
+
+    @staticmethod
+    def _frame():
+        lits = bytes([3, 0, 3, 1, 3, 0, 2, 3, 3, 0] * 4)  # 40 bytes of {0..3}
+        # canonical zstd table order: sorted by (-nbits, sym); max_bits = 3
+        # weights: sym0=2, sym1=1, sym2=1, implied sym3=3 -> nbits 2,3,3,1
+        nbits = {0: 2, 1: 3, 2: 3, 3: 1}
+        order = sorted(nbits, key=lambda s: (-nbits[s], s))
+        codes, start = {}, 0
+        for s in order:
+            span = 1 << (3 - nbits[s])
+            codes[s] = start >> (3 - nbits[s])
+            start += span
+        # backward bitstream: encode symbols in REVERSE order, LSB-accumulate,
+        # close with a 1-bit sentinel, pad to a byte
+        acc, na = 0, 0
+        for s in reversed(lits):
+            acc |= codes[s] << na
+            na += nbits[s]
+        acc |= 1 << na
+        na += 1
+        stream = acc.to_bytes((na + 7) // 8, "little")
+        tree = bytes([127 + 3, 0x21, 0x10])  # 3 direct weights: 2,1 | 1,pad
+        comp_lits = tree + stream
+        # literals header: type=2 (compressed), size_format=0 (1 stream,
+        # 10-bit sizes, 3-byte header)
+        h = 2 | (0 << 2) | (len(lits) << 4) | (len(comp_lits) << 14)
+        lit_hdr = h.to_bytes(3, "little")
+        block_content = lit_hdr + comp_lits + b"\x00"  # 0 sequences
+        bh = (1 | (2 << 1) | (len(block_content) << 3)).to_bytes(3, "little")
+        fhd = bytes([0x20, len(lits)])  # single-segment, 1-byte FCS
+        return b"\x28\xb5\x2f\xfd" + fhd + bh + block_content, lits
+
+    def test_zstandard_accepts(self):
+        frame, lits = self._frame()
+        got = zstandard.ZstdDecompressor().decompress(
+            frame, max_output_size=len(lits))
+        assert got == lits
+
+    def test_pyref_accepts(self):
+        frame, lits = self._frame()
+        assert decode_frame(frame) == lits
+
+    def test_xla_decoder_accepts(self):
+        frame, lits = self._frame()
+        got, stat = our_decode([frame])
+        assert stat[0] == Status.SUCCESS
+        assert got[0] == lits
+
+    def test_pallas_decoder_accepts(self):
+        from tpucomp.ops.pallas import zstd_decode
+        frame, lits = self._frame()
+        cb = ChunkBatch.from_chunks([frame])
+        out, osz, stat = map(np.asarray, zstd_decode.decompress_batch(
+            cb.data, cb.sizes, 1024, interpret=True))
+        assert stat[0] == Status.SUCCESS
+        assert out[0, :osz[0]].tobytes() == lits

@@ -156,11 +156,11 @@ def huf_weights(buf, tree_pos):
                 break
             s1 = base1 + v1
         tree_bytes = 1 + thdr
-    # implied last weight
+    # implied last weight: tableLog = highbit(total)+1 (STRICTLY greater
+    # power of two — an exact power-of-two sum bumps the log; zstd
+    # HUF_readStats / RFC 8878 §4.2.1.1)
     total = sum((1 << (w - 1)) for w in ws if w > 0)
-    tl = (total - 1).bit_length()
-    if total >= (1 << tl) + 1:
-        tl += 1
+    tl = total.bit_length()
     rest = (1 << tl) - total
     assert rest > 0 and (rest & (rest - 1)) == 0, (total, tl, rest)
     ws.append(rest.bit_length())

@@ -82,13 +82,64 @@ def _apply_level(level_tab: jax.Array, c: jax.Array) -> jax.Array:
     return r
 
 
+@functools.lru_cache(maxsize=1)
+def _columns() -> tuple[np.ndarray, np.ndarray]:
+    """GF(2) column form of the operators, for gather-free vector evaluation.
+
+    ``word_cols[j]`` = crc0 of the 4-byte message whose little-endian u32
+    image has only bit ``j`` set (byte i of the message = word bits 8i..8i+7).
+    ``level_cols[k, j]`` = M_(2^k) applied to ``1 << j``.
+
+    Every operator here is GF(2)-linear, so applying it to a vector of words
+    is 32 constant-column mask-and-XOR steps — pure VPU elementwise work.
+    Table gathers (the round-3 form) lower to serial dynamic-slices on TPU
+    and measured ~0.1 GB/s; this form removes every gather from the hot path.
+    """
+    byte_table, levels = _tables()
+
+    def apply_tables(t, c):
+        c = np.uint32(c)
+        r = np.uint32(0)
+        for j in range(4):
+            r ^= t[j, (c >> np.uint32(8 * j)) & np.uint32(0xFF)]
+        return r
+
+    def advance_zeros(c, nbytes):
+        # apply M_nbytes via the power-of-two level tables
+        k = 0
+        while nbytes:
+            if nbytes & 1:
+                c = apply_tables(levels[k], c)
+            nbytes >>= 1
+            k += 1
+        return c
+
+    word_cols = np.zeros(32, np.uint32)
+    for j in range(32):
+        byte_i, bit_t = j >> 3, j & 7
+        # crc0 of [0]*byte_i + [1<<bit_t] + [0]*(3-byte_i)
+        word_cols[j] = advance_zeros(byte_table[1 << bit_t], 3 - byte_i)
+    level_cols = np.zeros((MAX_LEVELS, 32), np.uint32)
+    for k in range(MAX_LEVELS):
+        for j in range(32):
+            level_cols[k, j] = apply_tables(levels[k], np.uint32(1) << j)
+    return word_cols, level_cols
+
+
+def _apply_cols(cols: np.ndarray, w: jax.Array) -> jax.Array:
+    """XOR of ``cols[j]`` over the set bits of uint32 vector ``w``."""
+    r = jnp.zeros_like(w)
+    for j in range(32):
+        mask = jnp.uint32(0) - ((w >> j) & jnp.uint32(1))
+        r = r ^ (mask & jnp.uint32(int(cols[j])))
+    return r
+
+
 def crc32_chunk(data: jax.Array, size: jax.Array) -> jax.Array:
     """CRC32 of ``data[:size]`` (one chunk; vmap over the batch axis)."""
     cap = data.shape[0]
-    n = 1 << max(1, (cap - 1).bit_length())  # pad capacity to pow2
-    byte_table_np, levels_np = _tables()
-    byte_table = jnp.asarray(byte_table_np)
-    levels = jnp.asarray(levels_np)
+    n = 1 << max(2, (cap - 1).bit_length())  # pad capacity to pow2 (>= 4)
+    word_cols, level_cols = _columns()
     size = size.astype(jnp.int32)
 
     # right-align: crc0(zeros || A) == crc0(A)
@@ -96,15 +147,22 @@ def crc32_chunk(data: jax.Array, size: jax.Array) -> jax.Array:
     src = i - (n - size)
     arr = jnp.where(src >= 0, data[jnp.clip(src, 0, cap - 1)], 0)
 
-    v = byte_table[arr.astype(jnp.int32)]
-    num_levels = max(1, n.bit_length() - 1)
+    # pack 4 bytes -> one LE u32 word, then evaluate crc0 per word in column
+    # form (32 mask-and-XOR steps; no gathers)
+    b = arr.astype(jnp.uint32).reshape(n // 4, 4)
+    w = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+    v = _apply_cols(word_cols, w)
+
+    # log-depth combine over words: level k shifts the left half by 2^k bytes
+    num_levels = max(0, (n // 4).bit_length() - 1)
     for k in range(num_levels):
         left = v[0::2]
         right = v[1::2]
-        v = _apply_level(levels[k], left) ^ right
+        v = _apply_cols(level_cols[k + 2], left) ^ right
     crc0 = v[0]
 
     # init/final-xor correction: M_size(0xFFFFFFFF) ^ 0xFFFFFFFF
+    levels = jnp.asarray(_tables()[1])
     c = jnp.uint32(0xFFFFFFFF)
     for k in range(MAX_LEVELS):
         hit = ((size >> k) & 1) == 1

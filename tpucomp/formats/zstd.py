@@ -450,10 +450,13 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
         ks = jnp.arange(256, dtype=jnp.int32)
         wsum = jnp.sum(jnp.where(jnp.logical_and(ks < nsym, weights > 0),
                                  jnp.int32(1) << jnp.clip(weights - 1, 0, 11), 0))
-        # implied last weight completes to the next power of two
+        # implied last weight completes to a power of two STRICTLY greater
+        # than the explicit sum (zstd HUF_readStats: tableLog =
+        # highbit(weightTotal)+1) — an exact power-of-two sum bumps the log,
+        # it is NOT rest==0 (RFC 8878 §4.2.1.1).
         tl = jnp.zeros((), jnp.int32)
         for k in range(1, 13):
-            tl = jnp.where((wsum > (1 << (k - 1))) & (wsum <= (1 << k)), k, tl)
+            tl = jnp.where((wsum >= (1 << (k - 1))) & (wsum < (1 << k)), k, tl)
         rest = (jnp.int32(1) << tl) - wsum
         # rest must be a power of two
         rest_bl = jnp.zeros((), jnp.int32)
@@ -871,6 +874,21 @@ def decode_chunk(comp: jax.Array, comp_size: jax.Array,
         seq_stream_bytes = block_end - seq_stream_start
         seq_bits_total, serr = stream_bits(seq_stream_start, seq_stream_bytes,
                                            jnp.where(nseq > 0, serr, False))
+        # nseq == 0: the sequences section ends right after the count byte —
+        # no modes byte, no tables, no bitstream (RFC 8878 §3.1.1.3.2.1).
+        # Everything above (scm/seq_table/stream_bits) was parsed from bytes
+        # that do not exist; drop those speculative errors, keep the previous
+        # FSE tables for later repeat-mode blocks, and require the block to
+        # end exactly at the count byte (zstd rejects trailing bytes).
+        seq_live = jnp.logical_and(is_comp, nseq > 0)
+        serr = jnp.where(nseq > 0, serr,
+                         jnp.logical_or(lit_err, block_end != sq))
+        ll_tab = jnp.where(seq_live, ll_tab, st["ll_tab"])
+        ll_acc = jnp.where(seq_live, ll_acc, st["ll_acc"])
+        of_tab = jnp.where(seq_live, of_tab, st["of_tab"])
+        of_acc = jnp.where(seq_live, of_acc, st["of_acc"])
+        ml_tab = jnp.where(seq_live, ml_tab, st["ml_tab"])
+        ml_acc = jnp.where(seq_live, ml_acc, st["ml_acc"])
 
         def decode_sequences(carry_in):
             toks, n_tok, out_size, rep, lit_used, e = carry_in

@@ -382,9 +382,9 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
         total = jax.lax.fori_loop(jnp.int32(0), n, tot, jnp.int32(0),
                                   unroll=False)
         e = jnp.logical_or(e, total <= 0)
-        tl = bitlen(jnp.maximum(total - 1, 0))
-        tl = tl + (total >= jax.lax.shift_left(jnp.int32(1), tl) + 1)\
-            .astype(jnp.int32)
+        # tableLog = highbit(total)+1 (strictly-greater power of two; an
+        # exact power-of-two sum bumps the log — zstd HUF_readStats).
+        tl = bitlen(total)
         rest = jax.lax.shift_left(jnp.int32(1), tl) - total
         e = jnp.logical_or(e, rest <= 0)
         e = jnp.logical_or(e, (rest & (rest - 1)) != 0)
