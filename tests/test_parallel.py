@@ -56,6 +56,7 @@ def test_all_gather_cascaded(mesh):
 @pytest.mark.parametrize("fmt,gen", [
     ("zstd", lambda n: synth.text_like(n, seed=3)),
     ("deflate", lambda n: synth.mixed_corpus(n, seed=4)),
+    ("gdeflate", lambda n: synth.mixed_corpus(n, seed=8)),
     ("ans", lambda n: synth.mixed_corpus(n, seed=5)),
     ("snappy", lambda n: synth.runs(n, seed=6)),
     ("bitcomp", lambda n: synth.low_cardinality_ints(n)),
