@@ -286,6 +286,9 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: CascadedOpts,
     # pack the streams
     def packed(stream_v, count, firsts=(0, 0)):
         vmin, bits = bitpack.choose_width(stream_v, count)
+        # round into the W64 ladder so the TPU fast decoder
+        # (ops/cascaded_fast.py) can read every frame this encoder emits
+        bits = bitpack.round_width(bits)
         if not opts.use_bp:
             bits = jnp.maximum(bits, jnp.int32(8 * ts_py))
             bits = bitpack.round_bits_pow2(bits)

@@ -16,8 +16,25 @@ import jax.numpy as jnp
 
 from tpucomp.ops.parallel_lz import DUMP_SLOTS, dump_spread
 
-# kept for format compatibility checks (any width 0..64 is now legal)
+# kept for format compatibility checks (any width 0..64 is legal in the
+# container; the GENERAL decoder accepts all of them)
 ALLOWED_BITS = tuple(range(65))
+
+# The width ladder every encoder emits since round 4.  Each member has a
+# static lcm(32, b)-bit group layout, which is what lets the TPU fast path
+# (ops/cascaded_fast.py) pack/unpack with pure reshape+shift programs — no
+# gathers, no scatters.  Rounding exact widths up into this set costs at most
+# one step of the ladder (<= 33% on one stream, usually far less).
+W32 = (0, 1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+W64 = W32 + (40, 48, 64)
+
+
+def round_width(bits, widths=W64):
+    """Smallest member of ``widths`` >= bits (traced)."""
+    out = jnp.full((), widths[-1], jnp.int32)
+    for w in reversed(widths[:-1]):
+        out = jnp.where(bits <= w, w, out)
+    return out
 
 
 def bit_length(x: jax.Array) -> jax.Array:

@@ -154,10 +154,26 @@ def _lz4_compress_batch(data, sizes, opts, out_cap):
                                       interpret=interpret)
 
 
+def _cascaded_decompress_batch(comp, comp_sizes, out_cap):
+    # not a Pallas kernel: the TPU-fast XLA program (ops/cascaded_fast.py) —
+    # 32-bit lanes, static-width reshape unpack, dynamic_slice word fetch.
+    # Registered here because this dict IS the device fast-path dispatch.
+    from tpucomp.ops import cascaded_fast
+    return cascaded_fast.decompress_batch(comp, comp_sizes, out_cap)
+
+
+def _cascaded_compress_batch(data, sizes, opts, out_cap):
+    from tpucomp.formats import cascaded as fcas
+    from tpucomp.ops import cascaded_fast
+    return cascaded_fast.compress_batch(
+        data, sizes, opts if opts is not None else fcas.DEFAULT_OPTS, out_cap)
+
+
 PALLAS_DECODERS = {
     "lz4": _lz4_decompress_batch,
     "snappy": _snappy_decompress_batch,
     "ans": _ans_decompress_batch,
+    "cascaded": _cascaded_decompress_batch,
     "deflate": _deflate_decompress_batch,
     "gdeflate": _gdeflate_decompress_batch,
     "gzip": _gzip_decompress_batch,
@@ -238,6 +254,7 @@ PALLAS_ENCODERS = {
     "lz4": _lz4_compress_batch,
     "snappy": _snappy_compress_batch,
     "ans": _ans_compress_batch,
+    "cascaded": _cascaded_compress_batch,
     "deflate": _deflate_compress_batch,
     "gdeflate": _gdeflate_compress_batch,
     "zstd": _zstd_compress_batch,
