@@ -20,33 +20,39 @@ RAW = synth.mixed_corpus(2048, seed=33).tobytes()
 
 
 def _stage(fmt):
+    """-> (compressed_bytes, expected_plain_bytes)."""
     avail = interop.available()
     if fmt == "lz4" and avail.get("lz4"):
-        return interop.lz4_compress(RAW)
+        return interop.lz4_compress(RAW), RAW
     if fmt == "snappy" and avail.get("snappy"):
-        return interop.snappy_compress(RAW)
+        return interop.snappy_compress(RAW), RAW
     if fmt == "deflate":
-        return interop.deflate_compress(RAW)
+        return interop.deflate_compress(RAW), RAW
     if fmt == "gzip":
-        return interop.gzip_compress(RAW)
+        return interop.gzip_compress(RAW), RAW
     if fmt == "zstd" and avail.get("zstd"):
-        return interop.zstd_compress(RAW)
-    # self-framed (ans, gdeflate): XLA encoder
+        return interop.zstd_compress(RAW), RAW
+    # self-framed (ans, cascaded, gdeflate): XLA encoder
     import jax
     import tpucomp.batched as batched
     spec = batched._get(fmt)
-    cb = ChunkBatch.from_chunks([RAW])
+    raw = RAW
+    if fmt == "cascaded":
+        # format contract: chunk bytes must be a multiple of the element size
+        ts = spec.default_opts.type.nbytes
+        raw = RAW[: len(RAW) // ts * ts]
+    cb = ChunkBatch.from_chunks([raw])
     cap = spec.max_compressed_chunk_size(2048, spec.default_opts)
     co, cs, st = map(np.asarray, jax.jit(
         lambda d, s: spec.compress_batch(d, s, spec.default_opts, cap))(
         cb.data, cb.sizes))
     assert (st == 0).all()
-    return co[0, :cs[0]].tobytes()
+    return co[0, :cs[0]].tobytes(), raw
 
 
 @pytest.mark.parametrize("fmt", sorted(pk.PALLAS_DECODERS))
 def test_truncation_and_bitflip_sweep(fmt):
-    good = _stage(fmt)
+    good, want = _stage(fmt)
     rng = np.random.default_rng(len(good))
     variants = [good]
     n = len(good)
@@ -61,7 +67,7 @@ def test_truncation_and_bitflip_sweep(fmt):
                          pk.PALLAS_DECODERS[fmt](cb.data, cb.sizes, 2048))
     # the untouched stream must decode exactly
     assert stat[0] == Status.SUCCESS
-    assert out[0, :len(RAW)].tobytes() == RAW
+    assert out[0, :len(want)].tobytes() == want
     legal = {int(Status.SUCCESS), int(Status.ERROR_CANNOT_DECOMPRESS),
              int(Status.ERROR_OUTPUT_BUFFER_TOO_SMALL)}
     for i in range(len(variants)):

@@ -243,3 +243,48 @@ def test_encode_backend_dispatch_and_large_chunk_fallback():
                        np.array([osz[0]]), 100_000))
     assert st[0] == Status.SUCCESS
     assert o[0, :len(raw)].tobytes() == raw
+
+
+# ---------------------------------------------------------------------------
+# big-regime decoder (decompress_batch_big): windowed HBM executor for the
+# reference's 16 MB zstd chunk max (/root/reference/CHANGELOG.md:55;
+# benchmarks/benchmark_zstd_chunked.cu:54-56).  Interpreter mode only covers
+# the plumbing on small frames (the serial walk is infeasible to emulate at
+# MB scale); tpu_recovery_run.sh / bench drive the multi-MB regime on silicon.
+# ---------------------------------------------------------------------------
+
+def _decode_big(chunks: list[bytes], out_cap: int):
+    cb = ChunkBatch.from_chunks(chunks)
+    out, osz, stat = zstd_decode.decompress_batch_big(
+        cb.data, cb.sizes, out_cap, interpret=True)
+    return np.asarray(out), np.asarray(osz), np.asarray(stat)
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_big_path_small_frames_bit_exact():
+    raws = _raws()
+    comp = [interop.zstd_compress(r, level=3) for r in raws]
+    out, osz, stat = _decode_big(comp, 8192)
+    for i, r in enumerate(raws):
+        assert stat[i] == Status.SUCCESS, (i, stat[i])
+        assert osz[i] == len(r), (i, osz[i], len(r))
+        assert out[i, :len(r)].tobytes() == r, i
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_big_path_corrupt_input_yields_status():
+    good = interop.zstd_compress(synth.mixed_corpus(4000, seed=9).tobytes())
+    variants = [good]
+    for cut in (1, 4, len(good) // 2, len(good) - 1):
+        variants.append(good[:cut])
+    b = bytearray(good)
+    b[len(good) // 3] ^= 0x40
+    variants.append(bytes(b))
+    out, osz, stat = _decode_big(variants, 8192)
+    assert stat[0] == Status.SUCCESS
+    legal = {int(Status.SUCCESS), int(Status.ERROR_CANNOT_DECOMPRESS),
+             int(Status.ERROR_OUTPUT_BUFFER_TOO_SMALL)}
+    for i in range(len(variants)):
+        assert int(stat[i]) in legal, (i, stat[i])
+        if stat[i] != Status.SUCCESS:
+            assert osz[i] == 0, i

@@ -43,8 +43,11 @@ from tpucomp.constants import ElementType, Status
 from tpucomp.formats import cascaded as fc
 from tpucomp.ops.bitpack import W32, W64, round_width
 
+import numpy as np
+
 _U32 = jnp.uint32
-_MASKF = jnp.uint32(0xFFFFFFFF)
+# numpy scalar, not a jnp array: module-level jax arrays leak cached tracers
+_MASKF = np.uint32(0xFFFFFFFF)
 
 
 # =====================================================================================

@@ -98,17 +98,24 @@ def _zstd_decompress_batch(comp, comp_sizes, out_cap):
     import jax
     from tpucomp.ops.pallas import zstd_decode
     # VMEM fit gate (v5e usable VMEM measured at 16-20 MiB; scratch probe in
-    # round-3 notes): per grid step the kernel holds the output block
-    # (4 B/lane x out_cap), the input byte lanes (4 B/lane x comp_cap), and
-    # the 512 KiB literal scratch, double-buffered across grid steps.  Chunks
-    # that fit decode on the kernel; the 16 MB regime still falls back to the
-    # XLA program pending the HBM-ring executor (STATUS known gap).
+    # round-3 notes): per grid step the resident kernel holds the output
+    # block (4 B/lane x out_cap), the input byte lanes (4 B/lane x comp_cap),
+    # and the 512 KiB literal scratch, double-buffered across grid steps.
+    # Chunks that fit use it; larger chunks — up to the reference's 16 MB
+    # zstd max (CHANGELOG.md:55) — run the windowed HBM executor
+    # (decompress_batch_big): input streams through a 256 KiB window, output
+    # through a sliding VMEM history window DMA-flushed to HBM, far matches
+    # staged back in — VMEM use constant in chunk size.
+    interpret = jax.default_backend() != "tpu"
     comp_cap = comp.shape[1]
     vmem_est = 2 * 4 * (out_cap + comp_cap) + (1 << 21)
     if vmem_est > 12 << 20:
-        from tpucomp.formats import zstd as fzstd
-        return fzstd.decompress_batch(comp, comp_sizes, out_cap)
-    interpret = jax.default_backend() != "tpu"
+        if interpret:
+            # emulating a multi-MB serial walk is infeasible off-TPU; the
+            # XLA program is also the faster choice there
+            from tpucomp.formats import zstd as fzstd
+            return fzstd.decompress_batch(comp, comp_sizes, out_cap)
+        return zstd_decode.decompress_batch_big(comp, comp_sizes, out_cap)
     return zstd_decode.decompress_batch(comp, comp_sizes, out_cap,
                                         interpret=interpret)
 

@@ -86,26 +86,200 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(out_cap: int, lit_cap: int, w_words: int,
+# ---- 16 MB-regime (big) executor geometry ----------------------------------
+# Input streams through a window (zstd blocks are <= 128 KiB compressed, RFC
+# 8878 Block_Maximum_Size), output through a sliding VMEM history window with
+# DMA flushes to an HBM-resident result; matches reaching behind the window
+# stage their source back in from the flushed HBM bytes.
+IW_BYTES = 1 << 18          # input window (words in SMEM + byte lanes in VMEM)
+IW_WORDS = IW_BYTES // 4
+IW_ROWS = IW_BYTES // bc.BLK
+BLOCK_CAP = 1 << 17         # RFC 8878 Block_Maximum_Size cap (128 KiB)
+KEEP = 1 << 19              # output history kept in-window after a slide
+SLIDE = 1 << 17             # slide/flush granularity (bytes)
+S_ROWS = SLIDE // bc.BLK
+MAXADV = BLOCK_CAP + 2048   # max op advance between checkpoints (+ wild pad)
+BUF_ROWS = (KEEP + SLIDE + MAXADV) // bc.BLK + 48   # output window rows
+# (+48: flush_tail reads whole 32-row chunks, rounding up past the content)
+STAGE_CH = 32               # far-match staging DMA chunk (rows)
+STAGE_NCH = 34
+STAGE_ROWS = STAGE_CH * STAGE_NCH + 8
+
+
+def _kernel(out_cap: int, lit_cap: int, w_words: int, big: bool,
+            in_total: int,
             size_ref, consts_ref, words_ref, lanes_ref,
             out_ref, osize_ref, stat_ref,
-            fse_ref, huf_ref, norm_ref, w_ref, lit_ref):
+            fse_ref, huf_ref, norm_ref, w_ref, lit_ref,
+            posbase_ref=None, wwin_ref=None, lwin_ref=None, win_ref=None,
+            stage_ref=None, sems=None):
     b = pl.program_id(0)
     csize = size_ref[b]
+
+    # ---------------- big-regime window machinery ---------------------------
+    if big:
+        # flattened HBM layouts (1-D words, 2-D row lanes): per-chunk bases.
+        # Mosaic requires 1-D HBM slices at 1024-element granularity and row
+        # slices at 8-row granularity; all offsets below comply.
+        # all HBM DMA offsets are written as q * tile so Mosaic can prove
+        # tiling divisibility (words: 1024-element tiles; rows: 8-row tiles)
+        in_kbase = b * (in_total // 4096)      # input base, 1024-word units
+        in_rbase8 = b * (in_total // bc.BLK // 8)   # input base, 8-row units
+        out_rows_pad = out_ref.shape[0] // pl.num_programs(0)
+        out_rbase8 = b * (out_rows_pad // 8)   # output base, 8-row units
+
+        def _load_input(nb):
+            """DMA input window [nb, nb+IW) (nb 4 KiB-aligned) into SMEM
+            words + VMEM byte lanes."""
+            nk = jax.lax.shift_right_logical(nb, jnp.int32(12))
+            d1 = pltpu.make_async_copy(
+                words_ref.at[pl.ds((in_kbase + nk) * 1024, IW_WORDS)],
+                wwin_ref.at[pl.ds(0, IW_WORDS)], sems.at[0])
+            d1.start()
+            d2 = pltpu.make_async_copy(
+                lanes_ref.at[pl.ds((in_rbase8 + nk * 4) * 8, IW_ROWS), :],
+                lwin_ref.at[0], sems.at[1])
+            d2.start()
+            d1.wait()
+            d2.wait()
+            posbase_ref[0] = nb
+
+        def ensure_input(lo, hi):
+            """Guarantee the input window covers [lo, hi) (hi - lo <=
+            IW - 4 KiB by construction)."""
+            ib = posbase_ref[0]
+            need = jnp.logical_or(lo < ib, hi > ib + IW_BYTES)
+
+            @pl.when(need)
+            def _():
+                nb = jax.lax.shift_left(
+                    jax.lax.shift_right_logical(jnp.maximum(lo, 0),
+                                                jnp.int32(12)), jnp.int32(12))
+                _load_input(jnp.clip(nb, 0, in_total - IW_BYTES))
+
+        def inrel(p):
+            return p - posbase_ref[0]
+
+        def orel(o):
+            return o - posbase_ref[1]
+
+        OUT = win_ref         # all output writes land in the sliding window
+        ILANES = lwin_ref
+
+        def checkpoint(op):
+            """Flush + slide until op - win_base < KEEP + SLIDE."""
+            opc = jnp.minimum(op, jnp.int32(out_cap))
+
+            def cond(wb):
+                return opc - wb >= KEEP + SLIDE
+
+            def body(wb):
+                w8 = jax.lax.shift_right_logical(wb, jnp.int32(10))
+                d = pltpu.make_async_copy(
+                    win_ref.at[0, pl.ds(0, S_ROWS), :],
+                    out_ref.at[pl.ds((out_rbase8 + w8) * 8, S_ROWS), :],
+                    sems.at[0])
+                d.start()
+                d.wait()
+                win_ref[0, 0:BUF_ROWS - S_ROWS, :] = \
+                    win_ref[0, S_ROWS:BUF_ROWS, :]
+                posbase_ref[1] = wb + SLIDE
+                return wb + SLIDE
+            jax.lax.while_loop(cond, body, posbase_ref[1])
+
+        def flush_tail(op):
+            """Flush the window remainder [win_base, op) to HBM (in 32-row
+            chunks; over-flushed junk rows are masked outside the kernel)."""
+            wb = posbase_ref[1]
+            opc = jnp.clip(op, wb, jnp.int32(out_cap))
+            nch = jax.lax.shift_right_logical(
+                ((opc - wb + bc.BLK - 1) >> 7) + STAGE_CH - 1,
+                jnp.int32(5))
+            w8 = jax.lax.shift_right_logical(wb, jnp.int32(10))
+
+            def fb(i, c):
+                d = pltpu.make_async_copy(
+                    win_ref.at[0, pl.ds(i * STAGE_CH, STAGE_CH), :],
+                    out_ref.at[pl.ds((out_rbase8 + w8 + i * 4) * 8,
+                                     STAGE_CH), :],
+                    sems.at[0])
+                d.start()
+                d.wait()
+                return c
+            jax.lax.fori_loop(jnp.int32(0), nch, fb, jnp.int32(0),
+                              unroll=False)
+
+        def far_copy(op, off, ml):
+            """Match whose source starts below win_base: stage the flushed
+            bytes back from HBM, then copy; any tail at/above win_base copies
+            in-window (dst - src >= KEEP there, so multi-block is safe)."""
+            wb = posbase_ref[1]
+            src = op - off
+            n1 = jnp.minimum(ml, wb - src)
+            r8 = jax.lax.shift_right_logical(src, jnp.int32(10))
+            boff = src - jax.lax.shift_left(r8, jnp.int32(10))
+            nch = jax.lax.shift_right_logical(
+                (((boff + n1 + bc.BLK - 1) >> 7) + 1) + STAGE_CH - 1,
+                jnp.int32(5))
+
+            def sb(i, c):
+                d = pltpu.make_async_copy(
+                    out_ref.at[pl.ds((out_rbase8 + r8 + i * 4) * 8,
+                                     STAGE_CH), :],
+                    stage_ref.at[0, pl.ds(i * STAGE_CH, STAGE_CH), :],
+                    sems.at[1])
+                d.start()
+                d.wait()
+                return c
+            jax.lax.fori_loop(jnp.int32(0), nch, sb, jnp.int32(0),
+                              unroll=False)
+            bc.copy_bytes(stage_ref, win_ref, boff, orel(op), n1)
+            n2 = ml - n1
+
+            @pl.when(n2 > 0)
+            def _():
+                bc.copy_bytes(win_ref, win_ref, orel(wb), orel(op) + n1, n2)
+
+        _load_input(jnp.int32(0))
+        posbase_ref[1] = jnp.int32(0)
+    else:
+        def inrel(p):
+            return p
+
+        def orel(o):
+            return o
+
+        def ensure_input(lo, hi):
+            pass
+
+        def checkpoint(op):
+            pass
+
+        OUT = out_ref
+        ILANES = lanes_ref
 
     def load32(i):
         # clamp: corrupt streams can drive bit positions arbitrarily far out
         # before the error flag unwinds the loop
-        wi = jnp.clip(i >> 2, jnp.int32(0), jnp.int32(w_words - 2))
-        w0 = words_ref[0, 0, wi]
-        w1 = words_ref[0, 0, wi + 1]
+        wi = jnp.clip(inrel(i) >> 2, jnp.int32(0), jnp.int32(w_words - 2))
+        if big:
+            w0 = wwin_ref[wi]
+            w1 = wwin_ref[wi + 1]
+        else:
+            w0 = words_ref[0, 0, wi]
+            w1 = words_ref[0, 0, wi + 1]
         sh = (i & 3) * 8
         lo = jax.lax.shift_right_logical(w0, sh)
         hi = jax.lax.shift_left(jax.lax.shift_left(w1, 31 - sh), jnp.int32(1))
         return lo | hi
 
     def getb(i):
-        w = words_ref[0, 0, jnp.maximum(i, 0) >> 2]
+        wi = jnp.clip(inrel(jnp.maximum(i, 0)) >> 2, jnp.int32(0),
+                      jnp.int32(w_words - 1))
+        if big:
+            w = wwin_ref[wi]
+        else:
+            w = words_ref[0, 0, wi]
         return jax.lax.shift_right_logical(w, (i & 3) * 8) & 0xFF
 
     def peek_v(pos, n):
@@ -148,7 +322,7 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
         return start_byte * 8, (nbytes - 1) * 8 + hb, e
 
     def wr_out(o, v):
-        bc.store128_wild(out_ref, o,
+        bc.store128_wild(OUT, orel(o),
                          jnp.broadcast_to(v, (1, bc.BLK)).astype(jnp.int32))
 
     def wr_lit(o, v):
@@ -614,12 +788,21 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
 
     def blk_body(s):
         (pos, op, err, done, r0, r1, r2, ll_a, of_a, ml_a, hbits) = s
+        if big:
+            ensure_input(pos, pos + 8)
         bh = getb(pos) | (getb(pos + 1) << 8) | (getb(pos + 2) << 16)
         last = (bh & 1) > 0
         btype = jax.lax.shift_right_logical(bh, jnp.int32(1)) & 3
         bsize = jax.lax.shift_right_logical(bh, jnp.int32(3))
         pos = pos + 3
         err = jnp.logical_or(err, btype == 3)
+        # RFC 8878 Block_Maximum_Size: both compressed and regenerated block
+        # sizes are <= 128 KiB — and the big regime's windows rely on it
+        err = jnp.logical_or(err, bsize > BLOCK_CAP)
+        if big:
+            ensure_input(pos - 3,
+                         pos + jnp.minimum(bsize, BLOCK_CAP) + 5)
+            checkpoint(op)
 
         def raw_blk(a):
             pos, op, err = a[0], a[1], a[2]
@@ -628,7 +811,7 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
 
             @pl.when(jnp.logical_and(ok, bsize > 0))
             def _():
-                bc.copy_bytes(lanes_ref, out_ref, pos, op, bsize)
+                bc.copy_bytes(ILANES, OUT, inrel(pos), orel(op), bsize)
             return (pos + bsize, op + bsize, err) + a[3:]
 
         def rle_blk(a):
@@ -679,8 +862,8 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
                 @pl.when(jnp.logical_and(jnp.logical_not(err2),
                                          jnp.logical_and(is_raw, regen > 0)))
                 def _():
-                    bc.copy_bytes(lanes_ref, lit_ref, pos + hdr, jnp.int32(0),
-                                  regen)
+                    bc.copy_bytes(ILANES, lit_ref, inrel(pos + hdr),
+                                  jnp.int32(0), regen)
 
                 rows = jax.lax.shift_right_logical(regen + bc.BLK - 1,
                                                    jnp.int32(7))
@@ -780,7 +963,7 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
 
                 @pl.when(jnp.logical_and(ok, regen > 0))
                 def _():
-                    bc.copy_bytes(lit_ref, out_ref, jnp.int32(0), op, regen)
+                    bc.copy_bytes(lit_ref, OUT, jnp.int32(0), orel(op), regen)
                 return op + regen, err, r0, r1, r2, ll_a, of_a, ml_a
 
             def with_seqs(st):
@@ -908,22 +1091,39 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
 
                     @pl.when(jnp.logical_and(lit_ok, ll > 0))
                     def _():
-                        bc.copy_bytes(lit_ref, out_ref, lit_pos, op, ll)
+                        bc.copy_bytes(lit_ref, OUT, lit_pos, orel(op), ll)
                     lit_pos = lit_pos + ll
                     op = op + ll
+                    if big:
+                        checkpoint(op)
 
                     e3 = jnp.logical_or(e3, off > op)
                     m_ok = jnp.logical_and(jnp.logical_not(e3),
                                            op + ml <= out_cap)
+                    if big:
+                        in_win = off <= op - posbase_ref[1]
 
-                    @pl.when(jnp.logical_and(m_ok, off >= bc.BLK))
-                    def _():
-                        bc.copy_bytes(out_ref, out_ref, op - off, op, ml)
+                        @pl.when(jnp.logical_and(
+                            m_ok, jnp.logical_and(in_win, off >= bc.BLK)))
+                        def _():
+                            bc.copy_bytes(OUT, OUT, orel(op - off), orel(op),
+                                          ml)
+
+                        @pl.when(jnp.logical_and(
+                            m_ok, jnp.logical_not(in_win)))
+                        def _():
+                            far_copy(op, off, ml)
+                    else:
+                        @pl.when(jnp.logical_and(m_ok, off >= bc.BLK))
+                        def _():
+                            bc.copy_bytes(OUT, OUT, op - off, op, ml)
 
                     @pl.when(jnp.logical_and(m_ok, off < bc.BLK))
                     def _():
-                        bc.copy_pattern(out_ref, op, off, ml)
+                        bc.copy_pattern(OUT, orel(op), off, ml)
                     op = op + ml
+                    if big:
+                        checkpoint(op)
 
                     # state updates (skipped after the last sequence); the
                     # three reads are at consecutive positions and total
@@ -972,7 +1172,7 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
 
                 @pl.when(jnp.logical_and(ok, rest > 0))
                 def _():
-                    bc.copy_bytes(lit_ref, out_ref, lit_pos, op, rest)
+                    bc.copy_bytes(lit_ref, OUT, lit_pos, orel(op), rest)
                 return op + rest, err, r0, r1, r2, ll_a, of_a, ml_a
 
             op, err, r0, r1, r2, ll_a, of_a, ml_a = jax.lax.cond(
@@ -994,6 +1194,8 @@ def _kernel(out_cap: int, lit_cap: int, w_words: int,
           jnp.int32(ML_ACC_DEF), jnp.int32(0))
     st = jax.lax.while_loop(blk_cond, blk_body, st)
     pos, op, err, done = st[0], st[1], st[2], st[3]
+    if big:
+        flush_tail(op)
     err = jnp.logical_or(err, jnp.logical_not(done))
     too_big = jnp.logical_and(jnp.logical_not(err), op > out_cap)
     ok = jnp.logical_not(jnp.logical_or(err, too_big))
@@ -1027,7 +1229,7 @@ def decompress_batch(comp: jax.Array, comp_sizes: jax.Array, out_cap: int,
 
     with jax.enable_x64(False):
         out_lanes, osz, stat = pl.pallas_call(
-            functools.partial(_kernel, out_cap, lit_cap, wpad // 4),
+            functools.partial(_kernel, out_cap, lit_cap, wpad // 4, False, 0),
             grid=(B,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # sizes (B,)
@@ -1059,6 +1261,76 @@ def decompress_batch(comp: jax.Array, comp_sizes: jax.Array, out_cap: int,
         )(comp_sizes.astype(jnp.int32), consts, words, lanes)
 
     out = out_lanes.reshape(B, out_rows * bc.BLK)[:, :out_cap]
+    opos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    out = jnp.where(opos < osz[:, None], out, 0).astype(jnp.uint8)
+    return out, osz, stat
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
+def decompress_batch_big(comp: jax.Array, comp_sizes: jax.Array, out_cap: int,
+                         interpret: bool = False):
+    """Batched Zstandard decode for the 16 MB-chunk reference regime
+    (``/root/reference/CHANGELOG.md:55``; ``benchmark_zstd_chunked.cu:54-56``).
+
+    Same frame walk as :func:`decompress_batch`, but input streams through a
+    256 KiB window (blocks are <= 128 KiB, RFC 8878), output accumulates in a
+    sliding VMEM history window flushed to an HBM-resident lane buffer by DMA,
+    and far matches (offset beyond the window) stage their source back in
+    from the flushed bytes — so VMEM use is constant in ``out_cap``.
+    """
+    B, comp_cap = comp.shape
+
+    in_pad = _round_up(max(comp_cap + 8, IW_BYTES), 4096)
+    cpad = jnp.pad(comp, ((0, 0), (0, in_pad - comp_cap)))
+    cw = cpad.reshape(B * in_pad // 4, 4).astype(jnp.int32)
+    words = cw[:, 0] | (cw[:, 1] << 8) | (cw[:, 2] << 16) | (cw[:, 3] << 24)
+    lanes = cpad.astype(jnp.int32).reshape(B * in_pad // bc.BLK, bc.BLK)
+
+    out_rows = _round_up(out_cap, bc.BLK) // bc.BLK
+    out_rows_pad = _round_up(out_rows + STAGE_ROWS + 2 * STAGE_CH, 8)
+    lit_cap = LIT_BLOCK_MAX
+    lit_rows = (lit_cap + bc.PAD_BYTES) // bc.BLK
+    consts = jnp.asarray(_CONSTS)
+
+    with jax.enable_x64(False):
+        out_lanes, osz, stat = pl.pallas_call(
+            functools.partial(_kernel, out_cap, lit_cap, IW_WORDS, True,
+                              in_pad),
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # sizes (B,)
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # consts (207,)
+                pl.BlockSpec(memory_space=pltpu.HBM),    # words (B*W,)
+                pl.BlockSpec(memory_space=pltpu.HBM),    # lanes (B*R, 128)
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.HBM),    # out lanes HBM
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * out_rows_pad, bc.BLK), jnp.int32),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+                jax.ShapeDtypeStruct((B,), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((FSE_TOTAL,), jnp.int32),
+                pltpu.SMEM((HUF_CAP,), jnp.int32),
+                pltpu.SMEM((64,), jnp.int32),
+                pltpu.SMEM((288,), jnp.int32),
+                pltpu.VMEM((1, lit_rows, bc.BLK), jnp.int32),
+                pltpu.SMEM((4,), jnp.int32),                   # posbase
+                pltpu.SMEM((IW_WORDS,), jnp.int32),            # input words
+                pltpu.VMEM((1, IW_ROWS, bc.BLK), jnp.int32),   # input lanes
+                pltpu.VMEM((1, BUF_ROWS, bc.BLK), jnp.int32),  # out window
+                pltpu.VMEM((1, STAGE_ROWS, bc.BLK), jnp.int32),  # staging
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )(comp_sizes.astype(jnp.int32), consts, words, lanes)
+
+    out = out_lanes.reshape(B, out_rows_pad, bc.BLK)[:, :out_rows, :]
+    out = out.reshape(B, out_rows * bc.BLK)[:, :out_cap]
     opos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
     out = jnp.where(opos < osz[:, None], out, 0).astype(jnp.uint8)
     return out, osz, stat
