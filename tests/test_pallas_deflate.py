@@ -244,3 +244,66 @@ def test_encode_output_buffer_too_small():
     out, osz, stat = _encode([raw], out_cap=1024)
     assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
     assert osz[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# dynamic-Huffman rungs (algo 1/2): the 3-phase pipeline — hist walk ->
+# vectorized table build -> emit walk (benchmark_deflate_chunked.cu:42,55-58)
+# ---------------------------------------------------------------------------
+
+def _encode_dyn(chunks, entropy_only=False):
+    from tpucomp.ops.pallas import deflate_encode
+    cb = ChunkBatch.from_chunks(chunks)
+    cap = fdeflate.max_compressed_chunk_size(cb.max_chunk_bytes)
+    out, osz, stat = deflate_encode.compress_batch_dyn(
+        cb.data, cb.sizes, cap, interpret=True, entropy_only=entropy_only)
+    return map(np.asarray, (out, osz, stat))
+
+
+def test_encode_dyn_zlib_inflates_bit_exact():
+    rng = np.random.default_rng(21)
+    chunks = [
+        synth.mixed_corpus(65536, seed=4).tobytes(),
+        synth.mortgage_like(65536, seed=5).tobytes(),
+        bytes(rng.integers(0, 256, 65536, dtype=np.uint8)),  # stored rewrite
+        b"\x00" * 65536,
+        b"abcabcabcabcabcabcab",
+        b"x",
+        b"",
+    ]
+    out, osz, stat = _encode_dyn(chunks)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert zlib.decompress(out[i, :osz[i]].tobytes(), -15) == c, i
+
+
+def test_encode_dyn_beats_fixed_ratio():
+    chunks = [synth.mixed_corpus(32768, seed=6).tobytes()]
+    _, s_fixed, st0 = _encode(chunks)
+    _, s_dyn, st1 = _encode_dyn(chunks)
+    assert st0[0] == st1[0] == Status.SUCCESS
+    assert s_dyn[0] < s_fixed[0]  # dynamic tables must pay on mixed data
+
+
+def test_encode_dyn_own_decoders_roundtrip():
+    buf = synth.mixed_corpus(1 << 16, seed=10).tobytes()
+    chunks = [buf[o:o + 32768] for o in range(0, len(buf), 32768)]
+    out, osz, stat = _encode_dyn(chunks)
+    assert (stat == Status.SUCCESS).all()
+    comp = [out[i, :osz[i]].tobytes() for i in range(len(chunks))]
+    dec, dsz, dst = _decode(comp, 32768)
+    assert (dst == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert dec[i, :len(c)].tobytes() == c
+    cb = ChunkBatch.from_chunks(comp)
+    xo, xs, xst = map(np.asarray,
+                      fdeflate.decompress_batch(cb.data, cb.sizes, 32768))
+    assert (xst == Status.SUCCESS).all()
+
+
+def test_encode_entropy_only_zlib_inflates():
+    chunks = [synth.mixed_corpus(32768, seed=7).tobytes(), b"\xaa" * 8192]
+    out, osz, stat = _encode_dyn(chunks, entropy_only=True)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert zlib.decompress(out[i, :osz[i]].tobytes(), -15) == c, i

@@ -207,17 +207,21 @@ def _ans_compress_batch(data, sizes, opts, out_cap):
 
 def _deflate_compress_batch(data, sizes, opts, out_cap):
     import jax
-    # the kernel is the algo-0 rung of the reference ladder (fixed tables,
-    # benchmark_deflate_chunked.cu:42,55-58); algo 1/2 keep the XLA
-    # dynamic-Huffman encoder for their ratio semantics
-    algo = getattr(opts, "algo", 0) if opts is not None else 0
-    if algo != 0:
-        from tpucomp.formats import deflate as fdeflate
-        return fdeflate.compress_batch(
-            data, sizes, opts if opts is not None else fdeflate.DEFAULT_OPTS,
-            out_cap)
+    # the full 3-algo reference ladder on the kernel path
+    # (benchmark_deflate_chunked.cu:42,55-58): algo 0 = fixed tables (one
+    # walk), algo 1 = per-chunk dynamic Huffman (hist walk -> vectorized
+    # table build -> emit walk), algo 2 = entropy-only (dynamic tables, no
+    # LZ stage)
     from tpucomp.ops.pallas import deflate_encode
+    algo = getattr(opts, "algo", 0) if opts is not None else 0
     interpret = jax.default_backend() != "tpu"
+    if algo == 1:
+        return deflate_encode.compress_batch_dyn(data, sizes, out_cap,
+                                                 interpret=interpret)
+    if algo == 2:
+        return deflate_encode.compress_batch_dyn(data, sizes, out_cap,
+                                                 interpret=interpret,
+                                                 entropy_only=True)
     return deflate_encode.compress_batch(data, sizes, out_cap,
                                          interpret=interpret)
 
