@@ -215,7 +215,13 @@ def main() -> None:
                 lambda t: dec_batch(t[0], t[1], chunk), (c, z))
             sm = (jnp.sum(dec.astype(jnp.int32)) + jnp.sum(dst)
                   + jnp.sum(dsz)).astype(jnp.int32)
-            return (z + sm * 0).astype(jnp.int32), (acc + sm).astype(jnp.int32)
+            acc = (acc + sm).astype(jnp.int32)
+            # unforgeable chain: 0 unless acc == INT32_MIN (probability ~2^-32)
+            # — XLA cannot prove it, so iteration i+1 truly depends on acc_i.
+            # (The old ``sm * 0`` constant-folded; XLA hoisted the body out of
+            # the loop and the protocol over-reported by up to K.)
+            dep = (acc == jnp.int32(-0x80000000)).astype(jnp.int32)
+            return (z + dep).astype(jnp.int32), acc
         _, acc = jax.lax.fori_loop(0, k, body, (z, jnp.int32(0)))
         return acc
 
@@ -264,7 +270,9 @@ def main() -> None:
                     lambda t: enc_batch(t[0], t[1], opts, cap), (d, s2))
                 sm = (jnp.sum(comp.astype(jnp.int32)) + jnp.sum(csz)
                       + jnp.sum(cst)).astype(jnp.int32)
-                return (s2 + sm * 0).astype(jnp.int32), (acc + sm).astype(jnp.int32)
+                acc = (acc + sm).astype(jnp.int32)
+                dep = (acc == jnp.int32(-0x80000000)).astype(jnp.int32)
+                return (s2 + dep).astype(jnp.int32), acc
             _, acc = jax.lax.fori_loop(0, k, body, (s, jnp.int32(0)))
             return acc
 

@@ -140,7 +140,9 @@ def main() -> None:
                 out, osz, st = dec_fn(c, z2, chunk)
                 sm = (jnp.sum(out.astype(jnp.int32)) + jnp.sum(osz)
                       + jnp.sum(st)).astype(jnp.int32)
-                return (z2 + sm * 0).astype(jnp.int32), acc + sm
+                acc = (acc + sm).astype(jnp.int32)
+                dep = (acc == jnp.int32(-0x80000000)).astype(jnp.int32)
+                return (z2 + dep).astype(jnp.int32), acc
             return jax.lax.fori_loop(0, k, body, (z, jnp.int32(0)))[1]
 
         t0 = time.time()
@@ -180,7 +182,9 @@ def main() -> None:
                     o1, o2, o3 = enc_fn(d, s2, None, cap)
                     sm = (jnp.sum(o1.astype(jnp.int32)) + jnp.sum(o2)
                           + jnp.sum(o3)).astype(jnp.int32)
-                    return (s2 + sm * 0).astype(s2.dtype), acc + sm
+                    acc = (acc + sm).astype(jnp.int32)
+                    dep = (acc == jnp.int32(-0x80000000)).astype(s2.dtype)
+                    return (s2 + dep).astype(s2.dtype), acc
                 return jax.lax.fori_loop(0, k, body, (s, jnp.int32(0)))[1]
 
             t0 = time.time()
@@ -237,7 +241,9 @@ def main() -> None:
                     s2, acc = carry
                     r = c32.crc32_batch(d, s2)
                     sm = jnp.sum(r.astype(jnp.uint32)).astype(jnp.int32)
-                    return (s2 + sm * 0).astype(jnp.int32), acc + sm
+                    acc = (acc + sm).astype(jnp.int32)
+                    dep = (acc == jnp.int32(-0x80000000)).astype(jnp.int32)
+                    return (s2 + dep).astype(jnp.int32), acc
                 return jax.lax.fori_loop(0, k, body, (s, jnp.int32(0)))[1]
 
             t0 = time.time()
@@ -267,7 +273,9 @@ def main() -> None:
                                                  cap)
                 sm = (jnp.sum(o1.astype(jnp.int32)) + jnp.sum(o2)
                       + jnp.sum(o3)).astype(jnp.int32)
-                return (s2 + sm * 0).astype(s2.dtype), acc + sm
+                acc = (acc + sm).astype(jnp.int32)
+                dep = (acc == jnp.int32(-0x80000000)).astype(s2.dtype)
+                return (s2 + dep).astype(s2.dtype), acc
             return jax.lax.fori_loop(0, k, body, (s, jnp.int32(0)))[1]
 
         t0 = time.time()
@@ -298,7 +306,9 @@ def main() -> None:
                 o1, o2, o3 = spec.decompress_batch(d, s2, chunk)
                 sm = (jnp.sum(o1.astype(jnp.int32)) + jnp.sum(o2)
                       + jnp.sum(o3)).astype(jnp.int32)
-                return (s2 + sm * 0).astype(s2.dtype), acc + sm
+                acc = (acc + sm).astype(jnp.int32)
+                dep = (acc == jnp.int32(-0x80000000)).astype(s2.dtype)
+                return (s2 + dep).astype(s2.dtype), acc
             return jax.lax.fori_loop(0, k, body, (s, jnp.int32(0)))[1]
 
         t0 = time.time()

@@ -153,7 +153,11 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
                 o1, o2, o3 = fn3(a, b2)
                 sm = (jnp.sum(o1.astype(jnp.int32)) + jnp.sum(o2)
                       + jnp.sum(o3)).astype(jnp.int32)
-                return ((b2 + sm * 0).astype(b2.dtype), (acc + sm).astype(jnp.int32))
+                acc = (acc + sm).astype(jnp.int32)
+                # unforgeable chain (see BENCH_NOTES): ``sm * 0`` constant-
+                # folded and XLA hoisted the body out of the timing loop
+                dep = (acc == jnp.int32(-0x80000000)).astype(b2.dtype)
+                return ((b2 + dep).astype(b2.dtype), acc)
             _, acc = jax.lax.fori_loop(0, k, body, (b, jnp.int32(0)))
             return acc
         return loop

@@ -123,7 +123,48 @@ def _columns() -> tuple[np.ndarray, np.ndarray]:
     for k in range(MAX_LEVELS):
         for j in range(32):
             level_cols[k, j] = apply_tables(levels[k], np.uint32(1) << j)
-    return word_cols, level_cols
+
+    # inverse advance operators: M_(-2^k) — lets the chunk tree run LEFT-
+    # aligned (no per-chunk alignment gather) and divide the trailing
+    # zero-padding back out with a scalar correction loop
+    def gf2_apply(cols, x):
+        r = np.uint32(0)
+        for j in range(32):
+            if (int(x) >> j) & 1:
+                r ^= cols[j]
+        return r
+
+    def gf2_compose(a, b):
+        return np.array([gf2_apply(a, b[j]) for j in range(32)], np.uint32)
+
+    def gf2_invert(cols):
+        # solve M X = I over GF(2); rows as 64-bit ints [M | I]
+        rows = []
+        for i in range(32):
+            m = 0
+            for j in range(32):
+                m |= ((int(cols[j]) >> i) & 1) << j
+            rows.append(m | (1 << (32 + i)))
+        for col in range(32):
+            piv = next(r for r in range(col, 32) if (rows[r] >> col) & 1)
+            rows[col], rows[piv] = rows[piv], rows[col]
+            for r in range(32):
+                if r != col and (rows[r] >> col) & 1:
+                    rows[r] ^= rows[col]
+        inv = np.zeros(32, np.uint32)
+        for j in range(32):
+            v = 0
+            for i in range(32):
+                v |= ((rows[i] >> (32 + j)) & 1) << i
+            inv[j] = v
+        return inv
+
+    inv1 = gf2_invert(level_cols[0])
+    inv_cols = np.zeros((MAX_LEVELS, 32), np.uint32)
+    inv_cols[0] = inv1
+    for k in range(1, MAX_LEVELS):
+        inv_cols[k] = gf2_compose(inv_cols[k - 1], inv_cols[k - 1])
+    return word_cols, level_cols, inv_cols
 
 
 def _apply_cols(cols: np.ndarray, w: jax.Array) -> jax.Array:
@@ -139,13 +180,16 @@ def crc32_chunk(data: jax.Array, size: jax.Array) -> jax.Array:
     """CRC32 of ``data[:size]`` (one chunk; vmap over the batch axis)."""
     cap = data.shape[0]
     n = 1 << max(2, (cap - 1).bit_length())  # pad capacity to pow2 (>= 4)
-    word_cols, level_cols = _columns()
+    word_cols, level_cols, inv_cols = _columns()
     size = size.astype(jnp.int32)
 
-    # right-align: crc0(zeros || A) == crc0(A)
+    # LEFT-aligned: mask instead of the right-align gather (a dynamic-shift
+    # gather only folds away when size == cap; with ragged sizes it measured
+    # 13x the whole checksum).  The trailing zero padding is divided back
+    # out below with the inverse-advance operators.
     i = jnp.arange(n, dtype=jnp.int32)
-    src = i - (n - size)
-    arr = jnp.where(src >= 0, data[jnp.clip(src, 0, cap - 1)], 0)
+    arr = jnp.where(i < size,
+                    jnp.pad(data, (0, n - cap)) if n > cap else data[:n], 0)
 
     # pack 4 bytes -> one LE u32 word, then evaluate crc0 per word in column
     # form (32 mask-and-XOR steps; no gathers)
@@ -161,12 +205,19 @@ def crc32_chunk(data: jax.Array, size: jax.Array) -> jax.Array:
         v = _apply_cols(level_cols[k + 2], left) ^ right
     crc0 = v[0]
 
-    # init/final-xor correction: M_size(0xFFFFFFFF) ^ 0xFFFFFFFF
-    levels = jnp.asarray(_tables()[1])
+    # divide out the n - size trailing zero bytes: crc0(A || 0^k) -> crc0(A)
+    kpad = jnp.int32(n) - size
+    for k in range(MAX_LEVELS):
+        hit = ((kpad >> k) & 1) == 1
+        crc0 = jnp.where(hit, _apply_cols(inv_cols[k], crc0), crc0)
+
+    # init/final-xor correction: M_size(0xFFFFFFFF) ^ 0xFFFFFFFF (column
+    # form — the table-gather form triggers a 7x whole-program stall when it
+    # shares an XLA program with a Pallas kernel and other gathers)
     c = jnp.uint32(0xFFFFFFFF)
     for k in range(MAX_LEVELS):
         hit = ((size >> k) & 1) == 1
-        c = jnp.where(hit, _apply_level(levels[k], c), c)
+        c = jnp.where(hit, _apply_cols(level_cols[k], c), c)
     return (crc0 ^ c ^ jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)
 
 

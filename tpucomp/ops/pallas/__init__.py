@@ -136,12 +136,13 @@ def _gzip_decompress_batch(comp, comp_sizes, out_cap):
     out, osz, dstat = deflate_decode.decompress_batch(
         comp, dend, out_cap, interpret=interpret,
         starts=jnp.where(hok, off, 0))
-    crc = jax.vmap(c32.crc32_chunk)(out, osz).astype(jnp.int64)
+    crc = jax.vmap(c32.crc32_chunk)(out, osz)
     ok = jnp.logical_and(hok, dstat == Status.SUCCESS)
     ok = jnp.logical_and(ok, crc == stored_crc)
-    ok = jnp.logical_and(ok, (osz.astype(jnp.int64) & 0xFFFFFFFF) == isize)
+    ok = jnp.logical_and(ok, osz.astype(jnp.uint32) == isize)
     osz = jnp.where(ok, osz, 0).astype(jnp.int32)
-    out = jnp.where(jnp.arange(out_cap)[None, :] < osz[:, None], out, 0)
+    opos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    out = jnp.where(opos < osz[:, None], out, 0)
     stat = jnp.where(ok, Status.SUCCESS,
                      Status.ERROR_CANNOT_DECOMPRESS).astype(jnp.int32)
     return out, osz, stat
