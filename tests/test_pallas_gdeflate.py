@@ -271,3 +271,61 @@ def test_encode_output_buffer_too_small():
     out, osz, stat = _encode([raw], out_cap=1024)
     assert stat[0] == Status.ERROR_OUTPUT_BUFFER_TOO_SMALL
     assert osz[0] == 0
+
+
+# ---------------------------------------------------------------------------
+# dynamic-table rungs (algo 1/2): hist walk -> vectorized table build ->
+# emit walk, btype-2 tiles (benchmark_gdeflate_chunked.cu:42,55-58)
+# ---------------------------------------------------------------------------
+
+def _encode_dyn(chunks, entropy_only=False):
+    from tpucomp.ops.pallas import gdeflate_encode
+    cb = ChunkBatch.from_chunks(chunks)
+    cap = fgdef.max_compressed_chunk_size(cb.max_chunk_bytes,
+                                          fgdef.DEFAULT_OPTS)
+    out, osz, stat = gdeflate_encode.compress_batch_dyn(
+        cb.data, cb.sizes, cap, interpret=True, entropy_only=entropy_only)
+    return map(np.asarray, (out, osz, stat))
+
+
+def test_encode_dyn_all_decoders_bit_exact():
+    rng = np.random.default_rng(31)
+    chunks = [
+        synth.mixed_corpus(32768, seed=14).tobytes(),
+        b"\x00" * 16384,
+        bytes(rng.integers(0, 256, 16384, dtype=np.uint8)),  # stored rewrite
+        b"ab" * 4096,
+        b"x",
+        b"",
+    ]
+    out, osz, stat = _encode_dyn(chunks)
+    assert (stat == Status.SUCCESS).all()
+    comp = [out[i, :osz[i]].tobytes() for i in range(len(chunks))]
+    for i, c in enumerate(chunks):
+        assert pyref.decompress(comp[i]) == c, i
+    cb = ChunkBatch.from_chunks(comp)
+    xo, xs, xst = map(np.asarray,
+                      fgdef.decompress_batch(cb.data, cb.sizes, 32768))
+    assert (xst == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert xo[i, :len(c)].tobytes() == c, i
+    po, ps, pst = _decode(comp, 32768)
+    assert (pst == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert po[i, :len(c)].tobytes() == c, i
+
+
+def test_encode_dyn_beats_fixed_ratio():
+    chunks = [synth.mixed_corpus(32768, seed=15).tobytes()]
+    _, s0, st0 = _encode(chunks)
+    _, s1, st1 = _encode_dyn(chunks)
+    assert st0[0] == st1[0] == Status.SUCCESS
+    assert s1[0] < s0[0]
+
+
+def test_encode_entropy_only_decodes():
+    chunks = [synth.mixed_corpus(16384, seed=16).tobytes(), b"\xcc" * 4096]
+    out, osz, stat = _encode_dyn(chunks, entropy_only=True)
+    assert (stat == Status.SUCCESS).all()
+    for i, c in enumerate(chunks):
+        assert pyref.decompress(out[i, :osz[i]].tobytes()) == c, i

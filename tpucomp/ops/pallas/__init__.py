@@ -229,17 +229,20 @@ def _deflate_compress_batch(data, sizes, opts, out_cap):
 
 def _gdeflate_compress_batch(data, sizes, opts, out_cap):
     import jax
-    # the kernel is the algo-0 rung (fixed tables, high throughput —
-    # benchmark_gdeflate_chunked.cu:42); algo 1/2 keep the XLA
-    # dynamic-table encoder for their ratio semantics
-    algo = getattr(opts, "algo", 0) if opts is not None else 0
-    if algo != 0:
-        from tpucomp.formats import gdeflate as fgd
-        return fgd.compress_batch(
-            data, sizes, opts if opts is not None else fgd.DEFAULT_OPTS,
-            out_cap)
+    # the full 3-algo reference ladder on the kernel path
+    # (benchmark_gdeflate_chunked.cu:42,55-58): algo 0 = fixed tables, algo
+    # 1 = per-tile dynamic tables (hist walk -> vectorized table build ->
+    # emit walk, btype-2 tiles), algo 2 = entropy-only
     from tpucomp.ops.pallas import gdeflate_encode
+    algo = getattr(opts, "algo", 0) if opts is not None else 0
     interpret = jax.default_backend() != "tpu"
+    if algo == 1:
+        return gdeflate_encode.compress_batch_dyn(data, sizes, out_cap,
+                                                  interpret=interpret)
+    if algo == 2:
+        return gdeflate_encode.compress_batch_dyn(data, sizes, out_cap,
+                                                  interpret=interpret,
+                                                  entropy_only=True)
     return gdeflate_encode.compress_batch(data, sizes, out_cap,
                                           interpret=interpret)
 
