@@ -98,3 +98,81 @@ def candidates(data: jax.Array, sizes: jax.Array, window: int = 65535):
     return jax.lax.map(
         lambda args: _candidates_chunk(args[0], args[1], window),
         (data, sizes))
+
+
+def _candidates2_chunk(data: jax.Array, size: jax.Array, window: int):
+    """Single-chunk TWO-candidate pass: the 4-byte nearest-previous chain
+    plus an 8-byte-prefix sort neighbor (suffix-order heuristic).
+
+    Sorting by the 8-byte prefix places positions with long common prefixes
+    adjacent; a neighbor with a smaller position whose first 4 bytes match
+    is a high-quality long-match candidate the depth-1 chain misses (the
+    nearest 4-byte occurrence often shares only those 4 bytes).  Measured on
+    the mixed corpus this halves the sequence count of the greedy walk.
+    """
+    cap = data.shape[0]
+    x = data.astype(jnp.int32)
+
+    def shift(k):
+        return jnp.pad(x, (0, k))[k:k + cap]
+
+    w0 = x | (shift(1) << 8) | (shift(2) << 16) | (shift(3) << 24)
+    w1 = shift(4) | (shift(5) << 8) | (shift(6) << 16) | (shift(7) << 24)
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    valid = pos <= size - MIN_MATCH
+
+    # ---- 4-byte nearest-previous chain (as _candidates_chunk) ----
+    sw, sp = jax.lax.sort((w0, pos), dimension=0, is_stable=True, num_keys=1)
+    first = pos == 0
+    same = jnp.logical_and(sw == jnp.roll(sw, 1), jnp.logical_not(first))
+    prev = jnp.roll(sp, 1)
+    sv = sp <= size - MIN_MATCH
+    good = jnp.logical_and(same, jnp.logical_and(sv, jnp.roll(sv, 1)))
+    cand_sorted = jnp.where(good, prev, -1)
+    _, cand = jax.lax.sort((sp, cand_sorted), dimension=0, num_keys=1)
+    cand = jnp.where(pos - cand <= window, cand, -1)
+    cand = jnp.where(valid, cand, -1)
+
+    # ---- 8-byte-prefix sort neighbors ----
+    s0, s1, sp8 = jax.lax.sort((w0, w1, pos), dimension=0, is_stable=True,
+                               num_keys=2)
+    sv8 = sp8 <= size - MIN_MATCH
+
+    def neigh(offs):
+        ow = jnp.roll(s0, offs)
+        op = jnp.roll(sp8, offs)
+        ov = jnp.roll(sv8, offs)
+        edge = jnp.logical_and(pos >= (0 if offs > 0 else cap + offs),
+                               pos < (offs if offs > 0 else cap))
+        ok = jnp.logical_and(jnp.logical_and(ow == s0, op < sp8),
+                             jnp.logical_and(jnp.logical_and(sv8, ov),
+                                             jnp.logical_not(edge)))
+        return jnp.where(ok, op, -1)
+
+    # nearest sorted neighbor on each side with a smaller position
+    c_up = jnp.maximum(neigh(1), neigh(2))
+    c_dn = jnp.maximum(neigh(-1), neigh(-2))
+    c8s = jnp.maximum(c_up, c_dn)
+    _, cand8 = jax.lax.sort((sp8, c8s), dimension=0, num_keys=1)
+    cand8 = jnp.where(pos - cand8 <= window, cand8, -1)
+    cand8 = jnp.where(valid, cand8, -1)
+    cand8 = jnp.where(cand8 == cand, -1, cand8)   # only keep a SECOND option
+
+    marked = jnp.where(jnp.logical_or(cand >= 0, cand8 >= 0), pos,
+                       jnp.int32(cap))
+    nxt = jax.lax.associative_scan(jnp.minimum, marked[::-1])[::-1]
+    return cand, cand8, nxt
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def candidates2(data: jax.Array, sizes: jax.Array, window: int = 65535):
+    """Two-candidate variant of :func:`candidates` -> (cand, cand8, nxt).
+
+    ``cand8`` is the 8-byte-prefix sort neighbor (-1 where absent or equal
+    to ``cand``); emitters extend both and keep the longer match.  Same
+    ``lax.map`` batching rationale as :func:`candidates`.
+    """
+    sizes = sizes.astype(jnp.int32)
+    return jax.lax.map(
+        lambda args: _candidates2_chunk(args[0], args[1], window),
+        (data, sizes))

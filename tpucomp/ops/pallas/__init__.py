@@ -82,16 +82,17 @@ def _deflate_decompress_batch(comp, comp_sizes, out_cap):
 
 def _gdeflate_decompress_batch(comp, comp_sizes, out_cap):
     import jax
-    # measured on silicon (results/kernels_*_20260819): the serial replay
-    # kernel beats the vectorized 32-lane parse 4x on the mixed corpus
-    # (0.112 vs 0.027 GB/s) and ties on mortgage (0.541 vs 0.536) — the
-    # per-round refill matmuls + 15 unrolled canonical-range compares cost
-    # more than the token walk they replace.  Dispatch follows the
-    # measurement; gdeflate_vdecode stays as the vector-parse testbed.
-    from tpucomp.ops.pallas import gdeflate_decode
+    # Dispatch follows the measurement — and the measurement changed when
+    # the chained-benchmark protocol was fixed (BENCH_NOTES round 4): under
+    # the honest chain the vectorized 32-lane parse BEATS the serial replay
+    # on both corpora (results/kernels_*_r4.csv: 0.026 vs 0.016 GB/s mixed,
+    # 0.123 vs 0.119 mortgage).  The round-3 "serial wins 4x" verdict was an
+    # artifact of comparing loop-hoisted single executions.
+    # gdeflate_decode stays as the serial reference implementation.
+    from tpucomp.ops.pallas import gdeflate_vdecode
     interpret = jax.default_backend() != "tpu"
-    return gdeflate_decode.decompress_batch(comp, comp_sizes, out_cap,
-                                            interpret=interpret)
+    return gdeflate_vdecode.decompress_batch(comp, comp_sizes, out_cap,
+                                             interpret=interpret)
 
 
 def _zstd_decompress_batch(comp, comp_sizes, out_cap):
