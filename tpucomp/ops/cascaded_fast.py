@@ -128,28 +128,40 @@ def _unpack_static(words: jax.Array, b: int,
     return lo, hi
 
 
+def _width_index(bits: jax.Array, widths) -> jax.Array:
+    """Index of ``bits`` in the ascending ``widths`` ladder (traced)."""
+    idx = jnp.zeros((), jnp.int32)
+    for w in widths[1:]:
+        idx = idx + (bits >= w).astype(jnp.int32)
+    return idx
+
+
 def pack_any(lo: jax.Array, hi: jax.Array, bits: jax.Array, cap_words: int,
              widths=W64) -> jax.Array:
-    """Pack at traced width ``bits`` (a member of ``widths``)."""
-    out = jnp.zeros((cap_words,), _U32)
-    for b in widths:
+    """Pack at traced width ``bits`` (a member of ``widths``).
+
+    ``lax.switch`` so only the taken width's static pack EXECUTES (under a
+    scalar trace, i.e. ``lax.map`` over chunks — under ``vmap`` all
+    branches would run and select, the round-4 measured 14x waste)."""
+    def mk(b):
         if b == 0:
-            continue
-        out = jnp.where(bits == b, _pack_static(lo, hi, b, cap_words), out)
-    return out
+            return lambda a: jnp.zeros((cap_words,), _U32)
+        return lambda a, b=b: _pack_static(a[0], a[1], b, cap_words)
+
+    return jax.lax.switch(_width_index(bits, widths),
+                          [mk(b) for b in widths], (lo, hi))
 
 
 def unpack_any(words: jax.Array, bits: jax.Array, cap_el: int,
                widths=W64) -> tuple[jax.Array, jax.Array]:
-    lo = jnp.zeros((cap_el,), _U32)
-    hi = jnp.zeros((cap_el,), _U32)
-    for b in widths:
+    def mk(b):
         if b == 0:
-            continue
-        l2, h2 = _unpack_static(words, b, cap_el)
-        lo = jnp.where(bits == b, l2, lo)
-        hi = jnp.where(bits == b, h2, hi)
-    return lo, hi
+            z = jnp.zeros((cap_el,), _U32)
+            return lambda w: (z, z)
+        return lambda w, b=b: _unpack_static(w, b, cap_el)
+
+    return jax.lax.switch(_width_index(bits, widths),
+                          [mk(b) for b in widths], words)
 
 
 # =====================================================================================
@@ -564,8 +576,11 @@ def compress_batch(data: jax.Array, sizes: jax.Array, opts, out_cap: int):
     if data.shape[1] > (4 << 20):
         # beyond the fast path's limb-exactness budget: general path
         return fc.compress_batch(data, sizes, opts, out_cap)
-    return jax.vmap(lambda d, s: encode_chunk(d, s, opts, out_cap))(
-        data, sizes.astype(jnp.int32))
+    # lax.map, not vmap: the width-ladder lax.switch in pack_any only
+    # executes its taken branch under a scalar trace
+    return jax.lax.map(
+        lambda a: encode_chunk(a[0], a[1], opts, out_cap),
+        (data, sizes.astype(jnp.int32)))
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap",))
@@ -580,9 +595,9 @@ def decompress_batch(comp: jax.Array, comp_sizes: jax.Array, out_cap: int):
     c4 = jnp.pad(comp, ((0, 0), (0, pad))).reshape(B, -1, 4).astype(_U32)
     comp_u32 = c4[..., 0] | (c4[..., 1] << 8) | (c4[..., 2] << 16) \
         | (c4[..., 3] << 24)
-    vlo, vhi, runs1, runs2, scalars, ts, ok = jax.vmap(
-        lambda c8, c32, s: _stage1(c8, c32, s, out_cap))(
-        comp, comp_u32, comp_sizes.astype(jnp.int32))
+    vlo, vhi, runs1, runs2, scalars, ts, ok = jax.lax.map(
+        lambda a: _stage1(a[0], a[1], a[2], out_cap),
+        (comp, comp_u32, comp_sizes.astype(jnp.int32)))
     from tpucomp.ops.pallas import cascaded_expand
     interpret = jax.default_backend() != "tpu"
     elo, ehi = cascaded_expand.expand_batch(

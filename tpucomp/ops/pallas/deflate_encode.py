@@ -57,14 +57,14 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, mode: str,
       ``benchmarks/benchmark_deflate_chunked.cu:42,55-58``).
     """
     if mode == "hist":
-        (size_ref, words_ref, cand_ref, nxt_ref, lanes_ref,
+        (size_ref, words_ref, cand_ref, cand8_ref, nxt_ref, lanes_ref,
          llh_ref, dh_ref, st_ref) = refs
     elif mode == "emit":
-        (size_ref, words_ref, cand_ref, nxt_ref, lanes_ref,
+        (size_ref, words_ref, cand_ref, cand8_ref, nxt_ref, lanes_ref,
          tab_ref, hdrw_ref, hdrn_ref,
          out_ref, osize_ref, stat_ref, st_ref) = refs
     else:
-        (size_ref, words_ref, cand_ref, nxt_ref, lanes_ref,
+        (size_ref, words_ref, cand_ref, cand8_ref, nxt_ref, lanes_ref,
          out_ref, osize_ref, stat_ref, st_ref) = refs
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -311,8 +311,21 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, mode: str,
 
         def take(a):
             anchor, scan, st = a
-            c = nm - cand_ref[0, 0, nm - base]   # distance (>=1, <=32768)
-            src = nm - c
+            # two candidates (4-byte nearest chain + 8-byte-prefix sort
+            # neighbor): extend both forward, keep the longer match
+            c4p = cand_ref[0, 0, nm - base]
+            c8p = cand8_ref[0, 0, nm - base]
+            p4 = jnp.where(c4p >= 0, c4p, c8p)
+            p8 = jnp.where(c8p >= 0, c8p, p4)
+            fcap = jnp.minimum(size - (nm + MIN_MATCH),
+                               MAX_MATCH - MIN_MATCH)
+            l4 = match_len(nm + MIN_MATCH, p4 + MIN_MATCH, fcap)
+            l8 = jax.lax.cond(
+                p8 != p4,
+                lambda _: match_len(nm + MIN_MATCH, p8 + MIN_MATCH, fcap),
+                lambda _: l4, 0)
+            src = jnp.where(l8 > l4, p8, p4)
+            c = nm - src                      # distance (>=1, <=32768)
 
             def bcond(st2):
                 nm2, src2 = st2
@@ -326,10 +339,8 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, mode: str,
 
             nm2, src2 = jax.lax.while_loop(bcond, bbody, (nm, src))
             back = nm - nm2
-            ml = back + MIN_MATCH + match_len(
-                nm + MIN_MATCH, src + MIN_MATCH,
-                jnp.minimum(size - (nm + MIN_MATCH),
-                            MAX_MATCH - MIN_MATCH - back))
+            ml = jnp.minimum(back + MIN_MATCH + jnp.maximum(l4, l8),
+                             jnp.int32(MAX_MATCH))
             st = emit_lits(st, anchor, nm2)
             st = put_match(st, ml, c)
             nip = nm2 + ml
@@ -453,6 +464,7 @@ def _prep(data, sizes, entropy_only=False):
     pad_to = n_slabs * SLAB
     if entropy_only:
         cand = jnp.zeros((B, 1, pad_to), jnp.int32)
+        cand8 = jnp.full((B, 1, pad_to), -1, jnp.int32)
         nxt = jnp.full((B, 1, pad_to), pad_to - 1, jnp.int32)
         wpad = _round_up(max(cap, 8), 4) + 4
         cw = jnp.pad(data, ((0, 0), (0, wpad - cap))).astype(jnp.int32)
@@ -462,12 +474,14 @@ def _prep(data, sizes, entropy_only=False):
         lpad = _round_up(cap, bc.BLK) + bc.PAD_BYTES
         lanes = jnp.pad(data, ((0, 0), (0, lpad - cap))).astype(jnp.int32)
         lanes = lanes.reshape(B, lpad // bc.BLK, bc.BLK)
-        return cand, nxt, words, lanes, n_slabs, wpad, lpad
-    cand, nxt = vmatch.candidates(data, sizes, window=WINDOW)
-    cand = jnp.pad(cand, ((0, 0), (0, pad_to - cap)))
+        return cand, cand8, nxt, words, lanes, n_slabs, wpad, lpad
+    cand, cand8, nxt = vmatch.candidates2(data, sizes, window=WINDOW)
+    cand = jnp.pad(cand, ((0, 0), (0, pad_to - cap)), constant_values=-1)
+    cand8 = jnp.pad(cand8, ((0, 0), (0, pad_to - cap)), constant_values=-1)
     nxt = jnp.pad(jnp.minimum(nxt, pad_to - 1),
                   ((0, 0), (0, pad_to - cap)), constant_values=pad_to - 1)
     cand = cand.reshape(B, 1, pad_to)
+    cand8 = cand8.reshape(B, 1, pad_to)
     nxt = nxt.reshape(B, 1, pad_to)
 
     wpad = _round_up(max(cap, 8), 4) + 4
@@ -479,13 +493,15 @@ def _prep(data, sizes, entropy_only=False):
     lpad = _round_up(cap, bc.BLK) + bc.PAD_BYTES
     lanes = jnp.pad(data, ((0, 0), (0, lpad - cap))).astype(jnp.int32)
     lanes = lanes.reshape(B, lpad // bc.BLK, bc.BLK)
-    return cand, nxt, words, lanes, n_slabs, wpad, lpad
+    return cand, cand8, nxt, words, lanes, n_slabs, wpad, lpad
 
 
 def _in_specs(wpad, lpad):
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, wpad // 4), lambda i, s: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
                      memory_space=pltpu.SMEM),
@@ -514,7 +530,7 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
     zlib/libdeflate)."""
     B, cap = data.shape
     sizes = sizes.astype(jnp.int32)
-    cand, nxt, words, lanes, n_slabs, wpad, lpad = _prep(data, sizes)
+    cand, cand8, nxt, words, lanes, n_slabs, wpad, lpad = _prep(data, sizes)
 
     # worst case: 9 bits/byte + EOB + header + flush slack (stored rewrite
     # is never larger than this)
@@ -534,7 +550,7 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
             ],
             scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
             interpret=interpret,
-        )(sizes, words, cand, nxt, lanes)
+        )(sizes, words, cand, cand8, nxt, lanes)
 
     out = out_lanes.reshape(B, out_rows * bc.BLK)[:, :out_cap]
     opos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
@@ -658,7 +674,7 @@ def compress_batch_dyn(data: jax.Array, sizes: jax.Array, out_cap: int,
     decodable by zlib/libdeflate and both in-tree decoders."""
     B, cap = data.shape
     sizes = sizes.astype(jnp.int32)
-    cand, nxt, words, lanes, n_slabs, wpad, lpad = _prep(
+    cand, cand8, nxt, words, lanes, n_slabs, wpad, lpad = _prep(
         data, sizes, entropy_only=entropy_only)
 
     with jax.enable_x64(False):
@@ -676,7 +692,7 @@ def compress_batch_dyn(data: jax.Array, sizes: jax.Array, out_cap: int,
             ],
             scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
             interpret=interpret,
-        )(sizes, words, cand, nxt, lanes)
+        )(sizes, words, cand, cand8, nxt, lanes)
 
         tab, hdrw, hdrn = jax.vmap(_dyn_tables)(llh, dh)
 
@@ -698,7 +714,7 @@ def compress_batch_dyn(data: jax.Array, sizes: jax.Array, out_cap: int,
             ],
             scratch_shapes=[pltpu.SMEM((8,), jnp.int32)],
             interpret=interpret,
-        )(sizes, words, cand, nxt, lanes, tab, hdrw, hdrn)
+        )(sizes, words, cand, cand8, nxt, lanes, tab, hdrw, hdrn)
 
     out = out_lanes.reshape(B, out_rows * bc.BLK)[:, :out_cap]
     opos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]

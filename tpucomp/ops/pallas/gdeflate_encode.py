@@ -58,13 +58,14 @@ def _kernel(w_words: int, n_slabs: int, mode: str, *refs):
     pipeline), ``emit`` (emit against per-tile dynamic tables — phase C;
     the reference's algo-1 rung, ``benchmark_gdeflate_chunked.cu:42``)."""
     if mode == "hist":
-        (size_ref, words_ref, cand_ref, nxt_ref, lanes_ref,
+        (size_ref, words_ref, cand_ref, cand8_ref, nxt_ref, lanes_ref,
          llh_ref, dh_ref, st_ref, ln_ref) = refs
     elif mode == "emit":
-        (size_ref, words_ref, cand_ref, nxt_ref, lanes_ref, tab_ref,
+        (size_ref, words_ref, cand_ref, cand8_ref, nxt_ref, lanes_ref,
+         tab_ref,
          lw_ref, nb16_ref, dcnt_ref, meta_ref, st_ref, ln_ref) = refs
     else:
-        (size_ref, words_ref, cand_ref, nxt_ref, lanes_ref,
+        (size_ref, words_ref, cand_ref, cand8_ref, nxt_ref, lanes_ref,
          lw_ref, nb16_ref, dcnt_ref, meta_ref, st_ref, ln_ref) = refs
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -288,8 +289,20 @@ def _kernel(w_words: int, n_slabs: int, mode: str, *refs):
 
         def take(a):
             anchor, scan, t = a
-            c = nm - cand_ref[0, 0, nm - base]
-            src = nm - c
+            # two candidates: extend both forward, keep the longer
+            c4p = cand_ref[0, 0, nm - base]
+            c8p = cand8_ref[0, 0, nm - base]
+            p4 = jnp.where(c4p >= 0, c4p, c8p)
+            p8 = jnp.where(c8p >= 0, c8p, p4)
+            fcap = jnp.minimum(size - (nm + MIN_MATCH),
+                               MAX_MATCH - MIN_MATCH)
+            l4 = match_len(nm + MIN_MATCH, p4 + MIN_MATCH, fcap)
+            l8 = jax.lax.cond(
+                p8 != p4,
+                lambda _: match_len(nm + MIN_MATCH, p8 + MIN_MATCH, fcap),
+                lambda _: l4, 0)
+            src = jnp.where(l8 > l4, p8, p4)
+            c = nm - src
 
             def bcond(st2):
                 nm2, src2 = st2
@@ -303,10 +316,8 @@ def _kernel(w_words: int, n_slabs: int, mode: str, *refs):
 
             nm2, src2 = jax.lax.while_loop(bcond, bbody, (nm, src))
             back = nm - nm2
-            ml = back + MIN_MATCH + match_len(
-                nm + MIN_MATCH, src + MIN_MATCH,
-                jnp.minimum(size - (nm + MIN_MATCH),
-                            MAX_MATCH - MIN_MATCH - back))
+            ml = jnp.minimum(back + MIN_MATCH + jnp.maximum(l4, l8),
+                             jnp.int32(MAX_MATCH))
             t = emit_lits(t, anchor, nm2)
             emit_match(t, ml, c)
             nip = nm2 + ml
@@ -366,13 +377,18 @@ def _prep(data, sizes, entropy_only=False):
     pad_to = n_slabs * SLAB
     if entropy_only:
         cand = jnp.zeros((B, 1, pad_to), jnp.int32)
+        cand8 = jnp.full((B, 1, pad_to), -1, jnp.int32)
         nxt = jnp.full((B, 1, pad_to), pad_to - 1, jnp.int32)
     else:
-        cand, nxt = vmatch.candidates(data, sizes)
-        cand = jnp.pad(cand, ((0, 0), (0, pad_to - cap)))
+        cand, cand8, nxt = vmatch.candidates2(data, sizes)
+        cand = jnp.pad(cand, ((0, 0), (0, pad_to - cap)),
+                       constant_values=-1)
+        cand8 = jnp.pad(cand8, ((0, 0), (0, pad_to - cap)),
+                        constant_values=-1)
         nxt = jnp.pad(jnp.minimum(nxt, pad_to - 1),
                       ((0, 0), (0, pad_to - cap)), constant_values=pad_to - 1)
         cand = cand.reshape(B, 1, pad_to)
+        cand8 = cand8.reshape(B, 1, pad_to)
         nxt = nxt.reshape(B, 1, pad_to)
 
     wpad = _round_up(max(cap, 8), 4) + 4
@@ -384,13 +400,15 @@ def _prep(data, sizes, entropy_only=False):
     lpad = _round_up(cap, bc.BLK) + bc.PAD_BYTES
     lanes = jnp.pad(data, ((0, 0), (0, lpad - cap))).astype(jnp.int32)
     lanes = lanes.reshape(B, lpad // bc.BLK, bc.BLK)
-    return cand, nxt, words, lanes, n_slabs, wpad, lpad
+    return cand, cand8, nxt, words, lanes, n_slabs, wpad, lpad
 
 
 def _in_specs(wpad, lpad):
     return [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, wpad // 4), lambda i, s: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
                      memory_space=pltpu.SMEM),
@@ -428,7 +446,7 @@ def _run_kernel(data, sizes, interpret, mode="fixed", tab=None,
     sizes = sizes.astype(jnp.int32)
     if prep is None:
         prep = _prep(data, sizes, entropy_only=entropy_only)
-    cand, nxt, words, lanes, n_slabs, wpad, lpad = prep
+    cand, cand8, nxt, words, lanes, n_slabs, wpad, lpad = prep
 
     with jax.enable_x64(False):
         if mode == "hist":
@@ -442,11 +460,11 @@ def _run_kernel(data, sizes, interpret, mode="fixed", tab=None,
                 scratch_shapes=[pltpu.SMEM((8,), jnp.int32),
                                 pltpu.SMEM((4 * N_LANES,), jnp.int32)],
                 interpret=interpret,
-            )(sizes, words, cand, nxt, lanes)
+            )(sizes, words, cand, cand8, nxt, lanes)
             return llh, dh
         specs, shapes = _emit_out(B)
         ins = _in_specs(wpad, lpad)
-        args = [sizes, words, cand, nxt, lanes]
+        args = [sizes, words, cand, cand8, nxt, lanes]
         if mode == "emit":
             ins = ins + [pl.BlockSpec(memory_space=pltpu.SMEM)]
             args = args + [tab]

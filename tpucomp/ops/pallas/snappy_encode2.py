@@ -31,7 +31,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(out_cap: int, w_words: int, n_slabs: int,
-            size_ref, words_ref, cand_ref, nxt_ref, lanes_ref,
+            size_ref, words_ref, cand_ref, cand8_ref, nxt_ref, lanes_ref,
             out_ref, osize_ref, stat_ref, st_ref):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -216,8 +216,21 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int,
 
         def take(a):
             anchor, scan, op = a
-            c = nm - cand_ref[0, 0, nm - base]
-            src = nm - c
+            # two candidates (4-byte chain + 8-byte-prefix sort neighbor):
+            # extend both forward, keep the longer match
+            c4p = cand_ref[0, 0, nm - base]
+            c8p = cand8_ref[0, 0, nm - base]
+            p4 = jnp.where(c4p >= 0, c4p, c8p)
+            p8 = jnp.where(c8p >= 0, c8p, p4)
+            fcap = size - (nm + MIN_MATCH)
+            l4 = match_len(nm + MIN_MATCH, p4 + MIN_MATCH, fcap)
+            l8 = jax.lax.cond(
+                p8 != p4,
+                lambda _: match_len(nm + MIN_MATCH, p8 + MIN_MATCH, fcap),
+                lambda _: l4, 0)
+            srcw = jnp.where(l8 > l4, p8, p4)
+            c = nm - srcw
+            src = srcw
 
             def bcond(st2):
                 nm2, src2 = st2
@@ -230,8 +243,7 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int,
                 return nm2 - 1, src2 - 1
 
             nm2, src2 = jax.lax.while_loop(bcond, bbody, (nm, src))
-            ml = (nm - nm2) + MIN_MATCH + match_len(
-                nm + MIN_MATCH, src + MIN_MATCH, size - (nm + MIN_MATCH))
+            ml = (nm - nm2) + MIN_MATCH + jnp.maximum(l4, l8)
             ll = nm2 - anchor
             fast = jnp.logical_and(ll <= 59, ml <= 64)
 
@@ -287,13 +299,15 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
     B, cap = data.shape
     sizes = sizes.astype(jnp.int32)
 
-    cand, nxt = vmatch.candidates(data, sizes)
+    cand, cand8, nxt = vmatch.candidates2(data, sizes)
     n_slabs = max(1, -(-cap // SLAB))
     pad_to = n_slabs * SLAB
-    cand = jnp.pad(cand, ((0, 0), (0, pad_to - cap)))
+    cand = jnp.pad(cand, ((0, 0), (0, pad_to - cap)), constant_values=-1)
+    cand8 = jnp.pad(cand8, ((0, 0), (0, pad_to - cap)), constant_values=-1)
     nxt = jnp.pad(jnp.minimum(nxt, pad_to - 1),
                   ((0, 0), (0, pad_to - cap)), constant_values=pad_to - 1)
     cand = cand.reshape(B, 1, pad_to)
+    cand8 = cand8.reshape(B, 1, pad_to)
     nxt = nxt.reshape(B, 1, pad_to)
 
     wpad = _round_up(max(cap, 8), 4) + 4
@@ -321,6 +335,8 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
                              memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
+                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, lpad // bc.BLK, bc.BLK),
                              lambda i, s: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -338,7 +354,7 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
             ],
             scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
             interpret=interpret,
-        )(sizes, words, cand, nxt, lanes)
+        )(sizes, words, cand, cand8, nxt, lanes)
 
     out = out_lanes.reshape(B, out_rows * bc.BLK)[:, :out_cap]
     opos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
