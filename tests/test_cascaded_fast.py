@@ -145,3 +145,30 @@ def test_width_ladder_pack_unpack_exhaustive():
                                       jnp.int64(0), jnp.int32(b), 2 * n))
         nw = (n * b + 31) // 32
         assert (np.asarray(words)[:nw] == ref[:nw].astype(np.uint32)).all(), b
+
+
+def test_pack_static_all_widths_large_jit():
+    """Regression: XLA miscompiled the unrolled column shift-OR chain in the
+    original _pack_static (jit packed 0xff84ffff where eager packed
+    0xffffffff for b=1 all-ones — bits at shifts 16..22 silently dropped,
+    observed on XLA:CPU and TPU).  The vectorized form must round-trip every
+    ladder width at a large, non-trivial size under jit."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1234)
+    cap = 16384
+    for b in cf.W64:
+        if b == 0:
+            continue
+        lo = rng.integers(0, 1 << min(b, 32), cap,
+                          dtype=np.uint64).astype(np.uint32)
+        if b < 32:
+            lo &= (1 << b) - 1
+        hi = (rng.integers(0, 1 << max(b - 32, 1), cap,
+                           dtype=np.uint64).astype(np.uint32)
+              if b > 32 else np.zeros(cap, np.uint32))
+        w = jax.jit(lambda l, h, b=b: cf._pack_static(l, h, b, 2 * cap))(
+            jnp.asarray(lo), jnp.asarray(hi))
+        l2, h2 = jax.jit(lambda w, b=b: cf._unpack_static(w, b, cap))(w)
+        assert (np.asarray(l2) == lo).all(), b
+        assert (np.asarray(h2) == hi).all(), b

@@ -58,7 +58,15 @@ def _pack_static(lo: jax.Array, hi: jax.Array, b: int,
                  cap_words: int) -> jax.Array:
     """Pack ``(hi << 32 | lo)`` values (pre-masked to ``b`` bits) at static
     width ``b`` into uint32 words, LSB-first contiguous (bit position of
-    value i = i*b) — identical layout to ``tpucomp.ops.bitpack.pack``."""
+    value i = i*b) — identical layout to ``tpucomp.ops.bitpack.pack``.
+
+    Fully vectorized over the group axis: the earlier unrolled
+    column-extract + shift-OR chain was MISCOMPILED by XLA (jit produced
+    0xff84ffff where eager produced 0xffffffff for b=1 all-ones — bits at
+    shifts 16..22 silently dropped, CPU and TPU).  Lane-wise shifts with a
+    disjoint-bit sum avoid the pattern and are faster besides.
+    """
+    import numpy as _np
     cap = lo.shape[0]
     if b == 0:
         return jnp.zeros((cap_words,), _U32)
@@ -67,29 +75,35 @@ def _pack_static(lo: jax.Array, hi: jax.Array, b: int,
     ng = -(-cap // ge)
     lo = jnp.pad(lo, (0, ng * ge - cap)).reshape(ng, ge)
     hi = jnp.pad(hi, (0, ng * ge - cap)).reshape(ng, ge)
-    cols = [jnp.zeros((ng,), _U32) for _ in range(gw)]
-    for e in range(ge):
-        bitpos = e * b
-        w0, sh = bitpos // 32, bitpos % 32
-        cols[w0] = cols[w0] | (lo[:, e] << sh)
-        pos, w = 32 - sh, w0 + 1          # next value bit not yet emitted
-        while pos < b and w < gw:
-            if pos < 32:
-                part = lo[:, e] >> pos
-                if pos > 0:
-                    part = part | (hi[:, e] << (32 - pos))
-            else:
-                part = hi[:, e] >> (pos - 32) if pos > 32 else hi[:, e]
-            cols[w] = cols[w] | part
-            pos += 32
-            w += 1
+    cols = []
+    ev = _np.arange(ge)
+    for w in range(gw):
+        sv = ev * b - 32 * w              # value e's bit offset within word w
+        live = (sv > -b) & (sv < 32)
+        pos = jnp.asarray(_np.clip(sv, 0, 31).astype(_np.uint32))[None, :]
+        neg = jnp.asarray(_np.clip(-sv, 0, 31).astype(_np.uint32))[None, :]
+        pos2 = jnp.asarray(_np.clip(sv + 32, 0, 31)
+                           .astype(_np.uint32))[None, :]
+        neg2 = jnp.asarray(_np.clip(-sv - 32, 0, 31)
+                           .astype(_np.uint32))[None, :]
+        t = jnp.where(jnp.asarray(sv >= 0)[None, :],
+                      jax.lax.shift_left(lo, pos), _U32(0))
+        t = t | jnp.where(jnp.asarray((sv < 0) & (sv > -32))[None, :],
+                          jax.lax.shift_right_logical(lo, neg)
+                          | jax.lax.shift_left(hi, pos2), _U32(0))
+        t = t | jnp.where(jnp.asarray(sv <= -32)[None, :],
+                          jax.lax.shift_right_logical(hi, neg2), _U32(0))
+        t = jnp.where(jnp.asarray(live)[None, :], t, _U32(0))
+        cols.append(jnp.sum(t, axis=1, dtype=_U32))   # disjoint bits: sum==OR
     flat = jnp.stack(cols, axis=1).reshape(-1)
     return jnp.pad(flat, (0, max(0, cap_words - flat.shape[0])))[:cap_words]
 
 
 def _unpack_static(words: jax.Array, b: int,
                    cap_el: int) -> tuple[jax.Array, jax.Array]:
-    """Inverse of :func:`_pack_static` -> (lo, hi) uint32 pairs, masked."""
+    """Inverse of :func:`_pack_static` -> (lo, hi) uint32 pairs, masked.
+    Vectorized over the group axis (see the miscompile note above)."""
+    import numpy as _np
     z = jnp.zeros((cap_el,), _U32)
     if b == 0:
         return z, z
@@ -97,34 +111,41 @@ def _unpack_static(words: jax.Array, b: int,
     ge, gw = lcm // b, lcm // 32
     ng = -(-cap_el // ge)
     nw = words.shape[0]
-    w = jnp.pad(words, (0, max(0, ng * gw - nw)))[:ng * gw].reshape(ng, gw)
-    lo_cols, hi_cols = [], []
-    for e in range(ge):
-        bitpos = e * b
-        w0, sh = bitpos // 32, bitpos % 32
-        acc_lo = w[:, w0] >> sh
-        acc_hi = jnp.zeros((ng,), _U32)
-        got, wi = 32 - sh, w0 + 1
-        while got < b and wi < gw:
-            part = w[:, wi]
-            if got < 32:
-                acc_lo = acc_lo | (part << got)
-                acc_hi = acc_hi | (part >> (32 - got))
-            elif got == 32:
-                acc_hi = acc_hi | part
-            else:
-                acc_hi = acc_hi | (part << (got - 32))
-            got += 32
-            wi += 1
-        if b < 32:
-            acc_lo = acc_lo & _U32((1 << b) - 1)
-            acc_hi = jnp.zeros((ng,), _U32)
-        elif b < 64:
-            acc_hi = acc_hi & _U32((1 << (b - 32)) - 1)
-        lo_cols.append(acc_lo)
-        hi_cols.append(acc_hi)
-    lo = jnp.stack(lo_cols, axis=1).reshape(-1)[:cap_el]
-    hi = jnp.stack(hi_cols, axis=1).reshape(-1)[:cap_el]
+    wds = jnp.pad(words, (0, max(0, ng * gw - nw)))[:ng * gw].reshape(ng, gw)
+    ev = _np.arange(ge)
+    acc_lo = jnp.zeros((ng, ge), _U32)
+    acc_hi = jnp.zeros((ng, ge), _U32)
+    for w in range(gw):
+        sv = ev * b - 32 * w              # value e's bit offset within word w
+        live = (sv > -b) & (sv < 32)
+        col = wds[:, w:w + 1]
+        # LO bits of value e from word w
+        pos = jnp.asarray(_np.clip(sv, 0, 31).astype(_np.uint32))[None, :]
+        neg = jnp.asarray(_np.clip(-sv, 0, 31).astype(_np.uint32))[None, :]
+        t = jnp.where(jnp.asarray((sv >= 0) & live)[None, :],
+                      jax.lax.shift_right_logical(col, pos), _U32(0))
+        t = t | jnp.where(jnp.asarray((sv < 0) & (sv > -32) & live)[None, :],
+                          jax.lax.shift_left(col, neg), _U32(0))
+        acc_lo = acc_lo | t
+        if b > 32:
+            # HI bits of value e (bit 32+ of the value) from word w
+            sh = ev * b + 32 - 32 * w
+            liveh = (sh > -(b - 32)) & (sh < 32)
+            posh = jnp.asarray(_np.clip(sh, 0, 31).astype(_np.uint32))[None, :]
+            negh = jnp.asarray(_np.clip(-sh, 0, 31).astype(_np.uint32))[None, :]
+            t2 = jnp.where(jnp.asarray((sh >= 0) & liveh)[None, :],
+                           jax.lax.shift_right_logical(col, posh), _U32(0))
+            t2 = t2 | jnp.where(
+                jnp.asarray((sh < 0) & (sh > -32) & liveh)[None, :],
+                jax.lax.shift_left(col, negh), _U32(0))
+            acc_hi = acc_hi | t2
+    if b < 32:
+        acc_lo = acc_lo & _U32((1 << b) - 1)
+        acc_hi = jnp.zeros_like(acc_hi)
+    elif b < 64:
+        acc_hi = acc_hi & _U32((1 << (b - 32)) - 1)
+    lo = acc_lo.reshape(-1)[:cap_el]
+    hi = acc_hi.reshape(-1)[:cap_el]
     return lo, hi
 
 

@@ -90,6 +90,121 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# ---- per-chunk FSE table input layout (custom sequence tables; packing
+# state | nb << 10 | base << 14 — acc <= 9 states need 10 bits) ----
+LL_ACC, ML_ACC, OF_ACC = 9, 9, 8
+O2_LL = 0
+O2_ML = O2_LL + 36 * 512
+O2_OF = O2_ML + 53 * 512
+O2_LLF = O2_OF + 32 * 256
+O2_MLF = O2_LLF + 36
+O2_OFF = O2_MLF + 53
+O2_META = O2_OFF + 32      # [ll_acc, ml_acc, of_acc, scm, nc_len_bytes]
+FSE_TT = ((O2_META + 8 + 127) // 128) * 128   # TPU SMEM blocks: 128-aligned
+NC_CAP = 512               # ncount byte region (3 tables <= ~80 B each)
+
+
+def _seq_tables(sch):
+    """Phase B for the sequence side: exact code histograms -> per-chunk
+    FSE encode tables (custom mode-2 where they pay, else the predefined
+    tables re-packed), the serialized ncount descriptions, and the meta
+    row.  Pure int32 except the small argsorts inside _fse_enc_traced."""
+    from tpucomp.formats.zstd import (LL_DEFAULT, LL_DEFAULT_ACC, LL_ENC,
+                                      ML_DEFAULT, ML_DEFAULT_ACC, ML_ENC,
+                                      OF_DEFAULT, OF_DEFAULT_ACC, OF_ENC,
+                                      _fse_enc_traced, _normalize_counts,
+                                      _serialize_ncount)
+
+    def flog2(x):
+        r = jnp.zeros_like(x)
+        for k in range(1, 10):
+            r = r + (x >= (1 << k)).astype(jnp.int32)
+        return r
+
+    nseq = jnp.sum(sch[:36])
+
+    def one(freq, max_sym, acc, def_norm_np, def_acc, def_enc, size_c):
+        norm, nsym, nok = _normalize_counts(freq, 1 << acc)
+        stc, nbc, bsc, firstc, tok = _fse_enc_traced(norm, nsym, acc)
+        dvals, dbits, dlen = _serialize_ncount(norm, nsym, acc)
+        cost_c = jnp.sum(freq * (acc - flog2(jnp.maximum(norm, 1)))) \
+            + dlen + 7 + acc
+        dn = jnp.asarray(np.abs(np.asarray(def_norm_np))
+                         .astype(np.int32))[:max_sym]
+        cost_p = jnp.sum(freq * (def_acc - flog2(jnp.maximum(dn, 1)))) \
+            + def_acc
+        use = jnp.logical_and(jnp.logical_and(nok, tok), cost_c < cost_p)
+        use = jnp.logical_and(use, nseq >= 16)
+
+        std, nbd, bsd, firstd = (np.asarray(a) for a in def_enc)
+        padc = size_c - std.shape[1]
+        std = jnp.asarray(np.pad(std, ((0, 0), (0, padc))))
+        nbd = jnp.asarray(np.pad(nbd, ((0, 0), (0, padc))))
+        bsd = jnp.asarray(np.pad(bsd, ((0, 0), (0, padc))))
+        st = jnp.where(use, stc, std)
+        nb = jnp.where(use, nbc, nbd)
+        bs = jnp.where(use, bsc, bsd)
+        first = jnp.where(use, firstc, jnp.asarray(firstd))
+        packed = (st | (nb << 10) | (bs << 14)).reshape(-1)
+        acc_used = jnp.where(use, acc, def_acc)
+        return (use, packed.astype(jnp.int32), first.astype(jnp.int32),
+                acc_used.astype(jnp.int32), dvals, jnp.where(use, dbits, 0))
+
+    u_ll, p_ll, f_ll, a_ll, llv, llb = one(
+        sch[0:36], 36, LL_ACC, LL_DEFAULT, LL_DEFAULT_ACC, LL_ENC, 512)
+    u_ml, p_ml, f_ml, a_ml, mlv, mlb = one(
+        sch[36:89], 53, ML_ACC, ML_DEFAULT, ML_DEFAULT_ACC, ML_ENC, 512)
+    u_of, p_of, f_of, a_of, ofv, ofb = one(
+        jnp.pad(sch[89:121], (0, 0))[:29], 29, OF_ACC, OF_DEFAULT,
+        OF_DEFAULT_ACC, OF_ENC, 256)
+    # OF tables are [29, 256] from the builders; pad symbols to 32 rows
+    p_of = jnp.pad(p_of.reshape(29, 256), ((0, 3), (0, 0))).reshape(-1)
+    f_of = jnp.pad(f_of, (0, 3))
+
+    # ncount byte regions, byte-aligned per table, order LL OF ML (RFC)
+    def pack_bytes(vals, bits):
+        nf = vals.shape[0]
+        bit_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(bits)[:-1].astype(jnp.int32)])
+        total = jnp.sum(bits)
+        nbytes = (total + 7) >> 3
+        word_idx = bit_off >> 5
+        sh = bit_off & 31
+        v32 = vals.astype(jnp.uint32)
+        part0 = jax.lax.shift_left(v32, sh.astype(jnp.uint32))
+        part1 = jnp.where(sh > 0, jax.lax.shift_right_logical(
+            v32, (32 - sh).astype(jnp.uint32)), jnp.uint32(0))
+        W = NC_CAP // 4
+        cols = jnp.arange(W, dtype=jnp.int32)[None, :]
+        live = (bits > 0)[:, None]
+        m0 = jnp.logical_and(word_idx[:, None] == cols, live)
+        m1 = jnp.logical_and(word_idx[:, None] + 1 == cols, live)
+        wv = jnp.sum(jnp.where(m0, part0[:, None], 0)
+                     + jnp.where(m1, part1[:, None], 0), axis=0,
+                     dtype=jnp.uint32)
+        by = jnp.stack([wv & 0xFF, (wv >> 8) & 0xFF, (wv >> 16) & 0xFF,
+                        (wv >> 24) & 0xFF], axis=1).reshape(-1)
+        return by.astype(jnp.int32), nbytes.astype(jnp.int32)
+
+    nc = jnp.zeros((NC_CAP,), jnp.int32)
+    off = jnp.int32(0)
+    for vals, bits in ((llv, llb), (ofv, ofb), (mlv, mlb)):
+        by, nb = pack_bytes(vals, bits)
+        idx = jnp.arange(NC_CAP, dtype=jnp.int32)
+        src = jnp.clip(idx - off, 0, NC_CAP - 1)
+        nc = jnp.where(jnp.logical_and(idx >= off, idx < off + nb),
+                       by[src], nc)
+        off = off + nb
+
+    scm = ((jnp.where(u_ll, 2, 0) << 6) | (jnp.where(u_of, 2, 0) << 4)
+           | (jnp.where(u_ml, 2, 0) << 2))
+    meta = jnp.stack([a_ll, a_ml, a_of, scm.astype(jnp.int32), off,
+                      jnp.int32(0), jnp.int32(0), jnp.int32(0)])
+    fse_tab = jnp.concatenate([p_ll, p_ml, p_of, f_ll, f_ml, f_of, meta])
+    fse_tab = jnp.pad(fse_tab, (0, FSE_TT - fse_tab.shape[0]))
+    return fse_tab, nc
+
+
 def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
             hi_base: int, mode: str, *refs):
     """``full``: walk + emit a complete zstd frame.  ``hist``: the same
@@ -100,10 +215,10 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
     if mode == "hist":
         (size_ref, words_ref, cand_ref, cand8_ref, nxt_ref, const_ref,
          huf_ref, tree_ref, lanes_ref,
-         lh_ref, st_ref, seqa_ref, seqb_ref, litw_ref) = refs
+         lh_ref, sch_ref, st_ref, seqa_ref, seqb_ref, litw_ref) = refs
     else:
         (size_ref, words_ref, cand_ref, cand8_ref, nxt_ref, const_ref,
-         huf_ref, tree_ref, lanes_ref,
+         huf_ref, tree_ref, lanes_ref, fse_ref, nc_ref,
          out_ref, osize_ref, stat_ref, st_ref, seqa_ref, seqb_ref,
          litw_ref) = refs
     b = pl.program_id(0)
@@ -127,6 +242,7 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
         if mode == "hist":
             def zh(i, c):
                 lh_ref[b, i] = jnp.int32(0)
+                sch_ref[b, jnp.minimum(i, 120)] = jnp.int32(0)
                 return c
             jax.lax.fori_loop(jnp.int32(0), jnp.int32(256), zh, jnp.int32(0),
                               unroll=False)
@@ -339,6 +455,21 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
                 seqa_ref[nseq] = ll | jax.lax.shift_left(ml - 3,
                                                          jnp.int32(16))
                 seqb_ref[nseq] = ofv
+                if mode == "hist":
+                    # exact sequence-code histograms for the custom-FSE
+                    # table build (layout: [0:36) LL, [36:89) ML, [89:121) OF)
+                    llc = jnp.where(
+                        ll < 64, const_ref[O_LLC + jnp.minimum(ll, 63)],
+                        19 + 31 - jax.lax.clz(ll))
+                    mlv = ml - 3
+                    mlc = jnp.where(
+                        mlv < 128, const_ref[O_MLC + jnp.minimum(mlv, 127)],
+                        36 + 31 - jax.lax.clz(jnp.maximum(mlv, 1)))
+                    ofc = 31 - jax.lax.clz(ofv)
+                    sch_ref[b, llc] = sch_ref[b, llc] + 1
+                    sch_ref[b, 36 + mlc] = sch_ref[b, 36 + mlc] + 1
+                    sch_ref[b, 89 + jnp.minimum(ofc, 31)] = \
+                        sch_ref[b, 89 + jnp.minimum(ofc, 31)] + 1
             nip = nm2 + ml
             return jax.lax.cond(
                 pays,
@@ -489,6 +620,18 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
 
         # -- sequences section ---------------------------------------------
         def with_seqs(_):
+            ll_acc = fse_ref[0, 0, O2_META + 0]
+            ml_acc = fse_ref[0, 0, O2_META + 1]
+            of_acc = fse_ref[0, 0, O2_META + 2]
+            nc_len = fse_ref[0, 0, O2_META + 4]
+
+            # table descriptions (custom FSE ncounts) go right after the SCM
+            # byte — copied FIRST: the wild copy overshoots up to 127 bytes,
+            # which the bitstream emission below then overwrites
+            @pl.when(nc_len > 0)
+            def _():
+                bc.copy_bytes(nc_ref, out_ref, jnp.int32(0), o1 + 3, nc_len)
+
             def body(j, st):
                 op, lo, hi, nb, s_ll, s_ml, s_of = st
                 i = nseq - 1 - j
@@ -515,34 +658,37 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
 
                 def init(st4):
                     # last sequence: initialize the three states, no bits
-                    return (st4, const_ref[O_LLF + llc],
-                            const_ref[O_MLF + mlc], const_ref[O_OFF + ofc])
+                    return (st4, fse_ref[0, 0, O2_LLF + llc],
+                            fse_ref[0, 0, O2_MLF + mlc],
+                            fse_ref[0, 0, O2_OFF + jnp.minimum(ofc, 31)])
 
                 def trans(st4):
                     # transition bits for seq i (decoder reads them during
                     # seq i's state update, from state s_{i+1} and sym_i);
-                    # append order of_ub, ml_ub, ll_ub = reversed decode
-                    pk = const_ref[O_OFE + ofc * 32 + s_of]
+                    # append order of_ub, ml_ub, ll_ub = reversed decode.
+                    # fse_ref packing: state | nb << 10 | base << 14
+                    pk = fse_ref[0, 0, O2_OF + jnp.minimum(ofc, 31) * 256
+                                 + s_of]
                     st4 = put(st4,
-                              s_of - (jax.lax.shift_right_logical(
-                                  pk, jnp.int32(16)) & 0xFF),
+                              s_of - jax.lax.shift_right_logical(
+                                  pk, jnp.int32(14)),
                               jax.lax.shift_right_logical(
-                                  pk, jnp.int32(8)) & 0xFF)
-                    n_of = pk & 0xFF
-                    pk = const_ref[O_MLE + mlc * 64 + s_ml]
+                                  pk, jnp.int32(10)) & 0xF)
+                    n_of = pk & 0x3FF
+                    pk = fse_ref[0, 0, O2_ML + mlc * 512 + s_ml]
                     st4 = put(st4,
-                              s_ml - (jax.lax.shift_right_logical(
-                                  pk, jnp.int32(16)) & 0xFF),
+                              s_ml - jax.lax.shift_right_logical(
+                                  pk, jnp.int32(14)),
                               jax.lax.shift_right_logical(
-                                  pk, jnp.int32(8)) & 0xFF)
-                    n_ml = pk & 0xFF
-                    pk = const_ref[O_LLE + llc * 64 + s_ll]
+                                  pk, jnp.int32(10)) & 0xF)
+                    n_ml = pk & 0x3FF
+                    pk = fse_ref[0, 0, O2_LL + llc * 512 + s_ll]
                     st4 = put(st4,
-                              s_ll - (jax.lax.shift_right_logical(
-                                  pk, jnp.int32(16)) & 0xFF),
+                              s_ll - jax.lax.shift_right_logical(
+                                  pk, jnp.int32(14)),
                               jax.lax.shift_right_logical(
-                                  pk, jnp.int32(8)) & 0xFF)
-                    n_ll = pk & 0xFF
+                                  pk, jnp.int32(10)) & 0xF)
+                    n_ll = pk & 0x3FF
                     return st4, n_ll, n_ml, n_of
 
                 st4, s_ll, s_ml, s_of = jax.lax.cond(j == 0, init, trans,
@@ -555,13 +701,13 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
 
             op, lo, hi, nb, s_ll, s_ml, s_of = jax.lax.fori_loop(
                 0, nseq, body,
-                (o1 + 3, jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                (o1 + 3 + nc_len, jnp.int32(0), jnp.int32(0), jnp.int32(0),
                  jnp.int32(0), jnp.int32(0), jnp.int32(0)))
             # initial states, reversed decode order (decoder reads LL,OF,ML)
             st4 = (op, lo, hi, nb)
-            st4 = put(st4, s_ml, jnp.int32(6))
-            st4 = put(st4, s_of, jnp.int32(5))
-            st4 = put(st4, s_ll, jnp.int32(6))
+            st4 = put(st4, s_ml, ml_acc)
+            st4 = put(st4, s_of, of_acc)
+            st4 = put(st4, s_ll, ll_acc)
             st4 = put(st4, jnp.int32(1), jnp.int32(1))   # padding bit
             return flush_tail(st4)
 
@@ -578,12 +724,13 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
                 size, jnp.int32(3))
 
         def comp_fix(_):
-            # sequence count (2-byte form) + SCM byte (0: all predefined)
+            # sequence count (2-byte form) + SCM byte (from the table build)
+            scm = fse_ref[0, 0, O2_META + 3]
             nb0 = jnp.where(nseq == 0, jnp.int32(0),
                             128 + jax.lax.shift_right_logical(nseq,
                                                               jnp.int32(8)))
             v2 = jnp.where(lane_i == 0, nb0,
-                           jnp.where(lane_i == 1, nseq & 0xFF, jnp.int32(0)))
+                           jnp.where(lane_i == 1, nseq & 0xFF, scm))
             bc.store128_masked(out_ref, o1, v2.astype(jnp.int32),
                                jnp.where(nseq == 0, jnp.int32(1),
                                          jnp.int32(3)))
@@ -657,7 +804,7 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
     # chunk histogram and cost ~0.3-0.7 ratio on mixed data); the emitting
     # call then receives codes tuned to precisely the bytes it will emit.
     with jax.enable_x64(False):
-        freq = pl.pallas_call(
+        freq, sch = pl.pallas_call(
             functools.partial(_kernel, out_cap, wpad // 4, n_slabs,
                               cap_seq0, 0, "hist"),
             grid=(B, n_slabs),
@@ -680,8 +827,9 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
                              lambda i, s: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
-            out_shape=[jax.ShapeDtypeStruct((B, 256), jnp.int32)],
+            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((B, 256), jnp.int32),
+                       jax.ShapeDtypeStruct((B, 121), jnp.int32)],
             scratch_shapes=[pltpu.SMEM((8,), jnp.int32),
                             pltpu.SMEM((cap_seq0,), jnp.int32),
                             pltpu.SMEM((cap_seq0,), jnp.int32),
@@ -690,7 +838,12 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
         )(sizes, jnp.zeros((B, 1, wpad // 4), jnp.int32) + words,
           cand, cand8, nxt, jnp.asarray(_CONST),
           jnp.zeros((B, 1, 258), jnp.int32),
-          jnp.zeros((B, 1, bc.BLK), jnp.int32), lanes)[0]
+          jnp.zeros((B, 1, bc.BLK), jnp.int32), lanes)
+    fse_tab, nc_bytes = jax.vmap(_seq_tables)(sch)
+    nc_rows = (NC_CAP + bc.PAD_BYTES) // bc.BLK
+    nc_lanes = jnp.pad(nc_bytes, ((0, 0), (0, nc_rows * bc.BLK - NC_CAP)))
+    nc_lanes = nc_lanes.reshape(B, nc_rows, bc.BLK)
+
     codes, nbits, tree_u8, tree_bytes, tok = jax.vmap(fzstd._huf_tree)(freq)
     tot = jnp.maximum(jnp.sum(freq, axis=1), 1)
     est_bits = jnp.sum(freq * nbits, axis=1)
@@ -742,6 +895,10 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
                 pl.BlockSpec((1, lpad // bc.BLK, bc.BLK),
                              lambda i, s: (i, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, FSE_TT), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nc_rows, bc.BLK), lambda i, s: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((1, out_rows, bc.BLK), lambda i, s: (i, 0, 0),
@@ -759,7 +916,8 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
                             pltpu.SMEM((cap_seq,), jnp.int32),
                             pltpu.SMEM((cap // 4 + 8,), jnp.int32)],
             interpret=interpret,
-        )(sizes, words, cand, cand8, nxt, const, huf_meta, tree_lanes, lanes)
+        )(sizes, words, cand, cand8, nxt, const, huf_meta, tree_lanes,
+          lanes, fse_tab.reshape(B, 1, FSE_TT), nc_lanes)
 
     out = out_lanes.reshape(B, out_rows * bc.BLK)[:, :out_cap]
     opos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
