@@ -240,16 +240,23 @@ def main() -> None:
         chk1 = int(dec_loop(comp_d, csz_d, jnp.int32(1)))
         log(f"[{fmt}/{name}] decompress compile+first-run(synced) "
             f"{time.time()-t0:.1f}s")
-        # one readback-terminated sample of K chained decodes; reported
-        # number is a LOWER bound (includes dispatch+readback overhead once)
-        KN = max(iters * 2, 8)
-        t0 = time.time()
-        chk2 = int(dec_loop(comp_d, csz_d, jnp.int32(KN)))
-        t = time.time() - t0
+        # marginal timing (BENCH_NOTES round-5): the tunnel adds ~25 ms of
+        # fixed launch+readback latency per execution; timing two chain
+        # lengths and differencing cancels it; the chain length adapts so
+        # the marginal work is >=200 ms (above launch-latency noise)
+        def run(kk):
+            t0 = time.time()
+            int(dec_loop(comp_d, csz_d, jnp.int32(kk)))
+            return time.time() - t0
+        est = max((run(5) - run(1)) / 4, 1e-7)
+        KN = min(max(iters * 2, 8, int(0.2 / est)), 1 << 14)
+        t_small = min(run(1) for _ in range(2))
+        t_big = min(run(1 + KN) for _ in range(2))
+        t = max(t_big - t_small, 1e-9)
         gbs = KN * total_bytes / t / 1e9
         log(f"[{fmt}/{name}] decompress {gbs:.3f} GB/s "
-            f"({KN} chained iterations in {t:.2f}s, readback-terminated; "
-            f"checksums {chk1}/{chk2})")
+            f"({KN} marginal chained iterations in {t:.2f}s, "
+            f"readback-terminated; checksum {chk1})")
         return gbs
 
     ds_gbs = {}
@@ -279,16 +286,21 @@ def main() -> None:
         t0 = time.time()
         int(comp_loop(datas, sizesd, jnp.int32(1)))
         log(f"[{fmt}] compress compile+first-run(synced) {time.time()-t0:.1f}s")
-        KN = max(iters, 4)
-        t0 = time.time()
-        int(comp_loop(datas, sizesd, jnp.int32(KN)))
-        t = time.time() - t0
+        def crun(kk):
+            t0 = time.time()
+            int(comp_loop(datas, sizesd, jnp.int32(kk)))
+            return time.time() - t0
+        est = max((crun(5) - crun(1)) / 4, 1e-7)
+        KN = min(max(iters, 4, int(0.2 / est)), 1 << 14)
+        t_small = min(crun(1) for _ in range(2))
+        t_big = min(crun(1 + KN) for _ in range(2))
+        t = max(t_big - t_small, 1e-9)
         comp_gbs = KN * total_bytes / t / 1e9
         comp, csz, cst = comp_fn(datas, sizesd)
         comp_ratio = total_bytes / int(np.asarray(csz).sum())
         assert int(np.asarray(cst).max()) == 0, "compress statuses"
         log(f"[{fmt}] compress {comp_gbs:.3f} GB/s at ratio {comp_ratio:.2f} "
-            f"({KN} chained iterations, readback-terminated)")
+            f"({KN} chained iterations, readback-terminated, marginal)")
 
     # ---------------- verification (on-device compare, scalar readbacks) -------------
     dec, dsz, dst = dec_out

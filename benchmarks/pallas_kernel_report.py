@@ -26,6 +26,34 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+
+def marginal_time(loop, a, b, kn):
+    """Marginal per-iteration seconds of a chained loop (round-5 protocol).
+
+    One program execution on the tunnel device carries ~25 ms of fixed
+    launch+readback latency (BENCH_NOTES round-5); t(K)/K overstates the
+    body cost by ~25/K ms.  Timing chains of length 1 and 1+kn in separate
+    executions and differencing cancels the fixed cost.
+    """
+    import time as _time
+    import jax.numpy as jnp
+
+    def run(k):
+        t0 = _time.time()
+        int(loop(a, b, jnp.int32(k)))
+        return _time.time() - t0
+
+    # pilot: estimate the body cost, then pick k so the marginal work is
+    # >=200 ms — well above the ~0.5 ms run-to-run noise of the ~25 ms
+    # launch overhead (fast bodies like crc32 cost <1 ms/iter and would
+    # otherwise measure as noise)
+    est = max((run(5) - run(1)) / 4, 1e-7)
+    kn = min(max(kn, int(0.2 / est)), 1 << 14)
+    t_small = min(run(1) for _ in range(2))
+    t_big = min(run(1 + kn) for _ in range(2))
+    return max(t_big - t_small, 1e-9) / kn
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mb", type=int, default=4)
@@ -154,10 +182,9 @@ def main() -> None:
             (osz == np.asarray(orig.sizes)).all()) and bool(
             (out == np.asarray(orig.data)).all())
         kn = max(args.iters, 4)
-        t0 = time.time()
-        chk2 = int(dec_loop(cb.data, cb.sizes, jnp.int32(kn)))
-        dt = time.time() - t0
-        gbs = kn * total / dt / 1e9
+        dt = marginal_time(dec_loop, cb.data, cb.sizes, kn)
+        chk2 = chk
+        gbs = total / dt / 1e9
         results.append((fmt, "decode", oracle, ok, gbs, compile_s))
         log(f"[{fmt}] decode {'BIT-EXACT' if ok else 'MISMATCH!'} "
             f"{gbs:.3f} GB/s (compile {compile_s:.0f}s, chk {chk}/{chk2})")
@@ -216,9 +243,7 @@ def main() -> None:
                 ok = ok and bool((dst == 0).all()) and bool(
                     (do == np.asarray(orig.data)).all())
             kn = max(args.iters, 4)
-            t0 = time.time()
-            int(enc_loop(cb.data, cb.sizes, jnp.int32(kn)))
-            gbs = kn * total / (time.time() - t0) / 1e9
+            gbs = total / marginal_time(enc_loop, cb.data, cb.sizes, kn) / 1e9
             results.append((fmt, "encode", "cpu-oracle", ok, gbs, compile_s))
             log(f"[{fmt}] encode {'BIT-EXACT' if ok else 'MISMATCH!'} "
                 f"{gbs:.3f} GB/s (compile {compile_s:.0f}s, "
@@ -254,9 +279,7 @@ def main() -> None:
             ok = all(int(r[i]) == (binascii.crc32(c) & 0xFFFFFFFF)
                      for i, c in enumerate(chunks))
             kn = max(args.iters, 4)
-            t0 = time.time()
-            int(crc_loop(cb.data, cb.sizes, jnp.int32(kn)))
-            gbs = kn * total / (time.time() - t0) / 1e9
+            gbs = total / marginal_time(crc_loop, cb.data, cb.sizes, kn) / 1e9
             results.append(("crc32-xla", "chksum", "binascii", ok, gbs,
                             compile_s))
             log(f"[crc32-xla] {'BIT-EXACT' if ok else 'MISMATCH!'} "
@@ -286,9 +309,7 @@ def main() -> None:
                 d, s, spec.default_opts, cap))(cb.data, cb.sizes))
         enc_ok = bool((st == 0).all())
         kn = max(args.iters, 4)
-        t0 = time.time()
-        int(xenc_loop(cb.data, cb.sizes, jnp.int32(kn)))
-        enc_gbs = kn * total / (time.time() - t0) / 1e9
+        enc_gbs = total / marginal_time(xenc_loop, cb.data, cb.sizes, kn) / 1e9
         ratio = total / cs.sum()
         results.append((f"{fmt}-xla", "encode", "self", enc_ok, enc_gbs,
                         enc_compile))
@@ -321,9 +342,8 @@ def main() -> None:
         dec_ok = bool((dst == 0).all()) and bool(
             (dz == np.asarray(orig.sizes)).all()) and bool(
             (do == np.asarray(orig.data)).all())
-        t0 = time.time()
-        int(xdec_loop(ccb.data, ccb.sizes, jnp.int32(kn)))
-        dec_gbs = kn * total / (time.time() - t0) / 1e9
+        dec_gbs = total / marginal_time(xdec_loop, ccb.data, ccb.sizes,
+                                        kn) / 1e9
         results.append((f"{fmt}-xla", "decode", "self", dec_ok, dec_gbs,
                         dec_compile))
         log(f"[{fmt}-xla] decode {'BIT-EXACT' if dec_ok else 'MISMATCH!'} "

@@ -163,10 +163,23 @@ def run_benchmark(fmt: str, data_chunks: Sequence[bytes], *,
         return loop
 
     def timed(loop, a, b, k):
-        int(loop(a, b, jnp.int32(1)))         # sync: drain queued work
-        t0 = time.time()
-        int(loop(a, b, jnp.int32(k)))         # readback terminates the timer
-        return (time.time() - t0) / k
+        # Marginal timing (round-5 calibration, BENCH_NOTES): one program
+        # execution on the tunnel device costs ~25 ms of launch+readback
+        # latency regardless of work, so t(K)/K overstates per-iteration
+        # cost by ~25/K ms.  Timing two chain lengths in separate executions
+        # and differencing cancels the fixed cost; the chain length adapts so
+        # the marginal work is >=200 ms (above launch-latency noise).
+        def run(kk):
+            t0 = time.time()
+            int(loop(a, b, jnp.int32(kk)))    # readback terminates the timer
+            return time.time() - t0
+
+        run(1)                                # sync: drain queued work
+        est = max((run(5) - run(1)) / 4, 1e-7)
+        k = min(max(k, int(0.2 / est)), 1 << 14)
+        t_small = min(run(1) for _ in range(2))
+        t_big = min(run(1 + k) for _ in range(2))
+        return max(t_big - t_small, 1e-9) / k
 
     K = max(iterations, 3)
     dec_loop = chained(lambda c, z: decode(c, z, max_chunk))
