@@ -60,50 +60,56 @@ def _pack_static(lo: jax.Array, hi: jax.Array, b: int,
     width ``b`` into uint32 words, LSB-first contiguous (bit position of
     value i = i*b) — identical layout to ``tpucomp.ops.bitpack.pack``.
 
-    Fully vectorized over the group axis: the earlier unrolled
-    column-extract + shift-OR chain was MISCOMPILED by XLA (jit produced
-    0xff84ffff where eager produced 0xffffffff for b=1 all-ones — bits at
-    shifts 16..22 silently dropped, CPU and TPU).  Lane-wise shifts with a
-    disjoint-bit sum avoid the pattern and are faster besides.
+    Layout (round 5): every vector op runs over the GROUP axis (thousands of
+    lanes), with the word/element structure unrolled as Python constants.
+    The round-4 version put the group axis major and the <=32-element group
+    axis minor, wasting up to 127/128 TPU lanes — measured 170x off VPU peak.
+    Two miscompile hazards shaped this code: an unrolled column-extract +
+    shift-OR chain over the minor axis was MISCOMPILED by XLA (bits at
+    shifts 16..22 silently dropped, CPU and TPU, round 4) — contributions
+    within a word are bit-disjoint, so ``+`` replaces ``|`` in the per-word
+    accumulation exactly as the round-4 fix did.
     """
-    import numpy as _np
     cap = lo.shape[0]
     if b == 0:
         return jnp.zeros((cap_words,), _U32)
     lcm = (32 * b) // math.gcd(32, b)
     ge, gw = lcm // b, lcm // 32          # elements / words per group
     ng = -(-cap // ge)
-    lo = jnp.pad(lo, (0, ng * ge - cap)).reshape(ng, ge)
-    hi = jnp.pad(hi, (0, ng * ge - cap)).reshape(ng, ge)
+    # (ng, ge) -> (ge, ng): group axis minor = full lane utilization
+    lov = jnp.pad(lo, (0, ng * ge - cap)).reshape(ng, ge).T
+    hiv = jnp.pad(hi, (0, ng * ge - cap)).reshape(ng, ge).T
     cols = []
-    ev = _np.arange(ge)
     for w in range(gw):
-        sv = ev * b - 32 * w              # value e's bit offset within word w
-        live = (sv > -b) & (sv < 32)
-        pos = jnp.asarray(_np.clip(sv, 0, 31).astype(_np.uint32))[None, :]
-        neg = jnp.asarray(_np.clip(-sv, 0, 31).astype(_np.uint32))[None, :]
-        pos2 = jnp.asarray(_np.clip(sv + 32, 0, 31)
-                           .astype(_np.uint32))[None, :]
-        neg2 = jnp.asarray(_np.clip(-sv - 32, 0, 31)
-                           .astype(_np.uint32))[None, :]
-        t = jnp.where(jnp.asarray(sv >= 0)[None, :],
-                      jax.lax.shift_left(lo, pos), _U32(0))
-        t = t | jnp.where(jnp.asarray((sv < 0) & (sv > -32))[None, :],
-                          jax.lax.shift_right_logical(lo, neg)
-                          | jax.lax.shift_left(hi, pos2), _U32(0))
-        t = t | jnp.where(jnp.asarray(sv <= -32)[None, :],
-                          jax.lax.shift_right_logical(hi, neg2), _U32(0))
-        t = jnp.where(jnp.asarray(live)[None, :], t, _U32(0))
-        cols.append(jnp.sum(t, axis=1, dtype=_U32))   # disjoint bits: sum==OR
-    flat = jnp.stack(cols, axis=1).reshape(-1)
+        acc = jnp.zeros((ng,), _U32)
+        for e in range(ge):
+            sv = e * b - 32 * w           # value e's bit offset within word w
+            if sv <= -b or sv >= 32:
+                continue                  # no overlap with word w
+            if sv >= 0:
+                acc = acc + (lov[e] << _U32(sv))
+            elif sv > -32:
+                t = lov[e] >> _U32(-sv)
+                if b > 32 and sv + 32 < 32:
+                    t = t | (hiv[e] << _U32(sv + 32))
+                acc = acc + t
+            else:
+                acc = acc + (hiv[e] >> _U32(-sv - 32))
+        cols.append(acc)
+    flat = jnp.stack(cols, axis=1).reshape(-1)   # (ng, gw) -> word order
     return jnp.pad(flat, (0, max(0, cap_words - flat.shape[0])))[:cap_words]
 
 
 def _unpack_static(words: jax.Array, b: int,
                    cap_el: int) -> tuple[jax.Array, jax.Array]:
     """Inverse of :func:`_pack_static` -> (lo, hi) uint32 pairs, masked.
-    Vectorized over the group axis (see the miscompile note above)."""
-    import numpy as _np
+
+    Same round-5 layout rule as the packer: ops run over the group axis
+    (lanes full), word/element structure unrolled as Python constants.
+    Within a group of ``ge`` elements spanning ``gw`` words, element e's bits
+    [e*b, e*b+b) never cross the group boundary, so at most two in-group
+    words feed each output limb.
+    """
     z = jnp.zeros((cap_el,), _U32)
     if b == 0:
         return z, z
@@ -111,41 +117,31 @@ def _unpack_static(words: jax.Array, b: int,
     ge, gw = lcm // b, lcm // 32
     ng = -(-cap_el // ge)
     nw = words.shape[0]
-    wds = jnp.pad(words, (0, max(0, ng * gw - nw)))[:ng * gw].reshape(ng, gw)
-    ev = _np.arange(ge)
-    acc_lo = jnp.zeros((ng, ge), _U32)
-    acc_hi = jnp.zeros((ng, ge), _U32)
-    for w in range(gw):
-        sv = ev * b - 32 * w              # value e's bit offset within word w
-        live = (sv > -b) & (sv < 32)
-        col = wds[:, w:w + 1]
-        # LO bits of value e from word w
-        pos = jnp.asarray(_np.clip(sv, 0, 31).astype(_np.uint32))[None, :]
-        neg = jnp.asarray(_np.clip(-sv, 0, 31).astype(_np.uint32))[None, :]
-        t = jnp.where(jnp.asarray((sv >= 0) & live)[None, :],
-                      jax.lax.shift_right_logical(col, pos), _U32(0))
-        t = t | jnp.where(jnp.asarray((sv < 0) & (sv > -32) & live)[None, :],
-                          jax.lax.shift_left(col, neg), _U32(0))
-        acc_lo = acc_lo | t
+    # (ng, gw) -> (gw, ng): group axis minor = full lane utilization
+    wds = jnp.pad(words, (0, max(0, ng * gw - nw)))[:ng * gw] \
+        .reshape(ng, gw).T
+    los, his = [], []
+    blo = min(b, 32)
+    for e in range(ge):
+        sv = e * b                        # bit offset of value e in the group
+        w0, sh = sv >> 5, sv & 31
+        lo = wds[w0] >> _U32(sh)
+        if sh + blo > 32:                 # straddles into the next word
+            lo = lo | (wds[w0 + 1] << _U32(32 - sh))
+        if b < 32:
+            lo = lo & _U32((1 << b) - 1)
+        los.append(lo)
         if b > 32:
-            # HI bits of value e (bit 32+ of the value) from word w
-            sh = ev * b + 32 - 32 * w
-            liveh = (sh > -(b - 32)) & (sh < 32)
-            posh = jnp.asarray(_np.clip(sh, 0, 31).astype(_np.uint32))[None, :]
-            negh = jnp.asarray(_np.clip(-sh, 0, 31).astype(_np.uint32))[None, :]
-            t2 = jnp.where(jnp.asarray((sh >= 0) & liveh)[None, :],
-                           jax.lax.shift_right_logical(col, posh), _U32(0))
-            t2 = t2 | jnp.where(
-                jnp.asarray((sh < 0) & (sh > -32) & liveh)[None, :],
-                jax.lax.shift_left(col, negh), _U32(0))
-            acc_hi = acc_hi | t2
-    if b < 32:
-        acc_lo = acc_lo & _U32((1 << b) - 1)
-        acc_hi = jnp.zeros_like(acc_hi)
-    elif b < 64:
-        acc_hi = acc_hi & _U32((1 << (b - 32)) - 1)
-    lo = acc_lo.reshape(-1)[:cap_el]
-    hi = acc_hi.reshape(-1)[:cap_el]
+            sv2 = sv + 32
+            w1, sh1 = sv2 >> 5, sv2 & 31
+            hi = wds[w1] >> _U32(sh1)
+            if sh1 + (b - 32) > 32:
+                hi = hi | (wds[w1 + 1] << _U32(32 - sh1))
+            if b < 64:
+                hi = hi & _U32((1 << (b - 32)) - 1)
+            his.append(hi)
+    lo = jnp.stack(los, axis=1).reshape(-1)[:cap_el]   # (ng, ge) -> elements
+    hi = (jnp.stack(his, axis=1).reshape(-1)[:cap_el] if his else z)
     return lo, hi
 
 
@@ -217,8 +213,11 @@ def _cumsum64(lo: jax.Array, hi: jax.Array, count: jax.Array):
         bsum = jnp.cumsum(lo >> 16, dtype=_U32)
         out_lo = a + (bsum << 16)
         carry = ((a >> 16) + bsum) >> 16
-        hsum = (jnp.cumsum(hi & 0xFFFF, dtype=_U32)
-                + (jnp.cumsum(hi >> 16, dtype=_U32) << 16))
+        # hi is the TOP limb: its running sum only matters mod 2^32, and
+        # int32 addition wraps — one cumsum, no limb split
+        hsum = jax.lax.bitcast_convert_type(
+            jnp.cumsum(jax.lax.bitcast_convert_type(hi, jnp.int32),
+                       dtype=jnp.int32), _U32)
     else:
         assert cap <= (1 << 20), "cascaded fast path caps chunks at 1 MiB"
         a = jnp.cumsum(lo & 0x7FF, dtype=_U32)            # bits [0, 11)
@@ -228,9 +227,9 @@ def _cumsum64(lo: jax.Array, hi: jax.Array, count: jax.Array):
         t1 = (a >> 11) + bsum                               # < 2^32
         t2 = (t1 >> 11) + c                                 # < 2^32
         carry = t2 >> 10
-        hsum = (jnp.cumsum(hi & 0x7FF, dtype=_U32)
-                + (jnp.cumsum((hi >> 11) & 0x7FF, dtype=_U32) << 11)
-                + (jnp.cumsum(hi >> 22, dtype=_U32) << 22))
+        hsum = jax.lax.bitcast_convert_type(
+            jnp.cumsum(jax.lax.bitcast_convert_type(hi, jnp.int32),
+                       dtype=jnp.int32), _U32)
     return out_lo, hsum + carry
 
 
@@ -589,6 +588,47 @@ def _stage2(vlo, vhi, ts, n, ok, out_cap: int):
 
 
 # =====================================================================================
+# vectorized RLE expansion (round 5)
+# =====================================================================================
+#
+# The round-4 Pallas expand kernel walks runs serially (one scalar extract +
+# wild-store blast per run) — fine on run-sparse columns, catastrophic on
+# run-dense data (654 ms for 4 MiB at n_runs ~ n, measured round 5 vs 0.01 ms
+# for the same data volume of pure vector work).  The vector formulation is
+# three primitives, all batched over chunks under vmap:
+#   starts = exclusive-cumsum(runs);  indicator = scatter-add 1 at starts;
+#   run-of(i) = inclusive-cumsum(indicator) - 1;  out = vals[run-of(i)].
+# Round 4 rejected this shape from measurements taken under the RTT-bound
+# protocol and lax.map serialization; under vmap + marginal timing it is
+# ~100x the serial kernel on run-dense chunks and ~2x on the flagship column.
+
+def _expand_pass(lo: jax.Array, hi: jax.Array, runs: jax.Array,
+                 n_runs: jax.Array, cap_el: int):
+    """Expand (lo, hi)[:n_runs] by runs[:n_runs] -> (lo, hi) value lanes."""
+    idx = jnp.arange(cap_el, dtype=jnp.int32)
+    msk = idx < n_runs
+    r = jnp.where(msk, jnp.clip(runs, 0, cap_el), 0)
+    starts = jnp.cumsum(r, dtype=jnp.int32) - r         # exclusive
+    starts = jnp.where(msk, starts, cap_el)             # OOB -> dropped
+    ind = jnp.zeros((cap_el,), jnp.int32).at[starts].add(1, mode="drop")
+    ridx = jnp.cumsum(ind, dtype=jnp.int32) - 1
+    ridx = jnp.clip(ridx, 0, cap_el - 1)
+    return lo[ridx], hi[ridx]
+
+
+def _expand_chunk(vlo, vhi, runs1, runs2, scalars, cap_el: int):
+    """Both RLE passes (values -> via runs2 -> via runs1), predicated on nr."""
+    n1, n2, nr = scalars[1], scalars[2], scalars[3]
+    l2, h2 = _expand_pass(vlo, vhi, runs2, jnp.where(nr >= 2, n2, 0), cap_el)
+    use2 = nr >= 2
+    lo = jnp.where(use2, l2, vlo)
+    hi = jnp.where(use2, h2, vhi)
+    l1, h1 = _expand_pass(lo, hi, runs1, jnp.where(nr >= 1, n1, 0), cap_el)
+    use1 = nr >= 1
+    return jnp.where(use1, l1, lo), jnp.where(use1, h1, hi)
+
+
+# =====================================================================================
 # batched entry points (the dispatch-facing API)
 # =====================================================================================
 
@@ -616,16 +656,15 @@ def decompress_batch(comp: jax.Array, comp_sizes: jax.Array, out_cap: int):
     c4 = jnp.pad(comp, ((0, 0), (0, pad))).reshape(B, -1, 4).astype(_U32)
     comp_u32 = c4[..., 0] | (c4[..., 1] << 8) | (c4[..., 2] << 16) \
         | (c4[..., 3] << 24)
-    vlo, vhi, runs1, runs2, scalars, ts, ok = jax.lax.map(
-        lambda a: _stage1(a[0], a[1], a[2], out_cap),
-        (comp, comp_u32, comp_sizes.astype(jnp.int32)))
-    from tpucomp.ops.pallas import cascaded_expand
-    interpret = jax.default_backend() != "tpu"
-    elo, ehi = cascaded_expand.expand_batch(
-        jax.lax.bitcast_convert_type(vlo, jnp.int32),
-        jax.lax.bitcast_convert_type(vhi, jnp.int32),
-        runs1, runs2, scalars, out_cap, interpret=interpret)
-    elo = jax.lax.bitcast_convert_type(elo, _U32)
-    ehi = jax.lax.bitcast_convert_type(ehi, _U32)
+    # vmap, not lax.map (round 5): stage1 is pure vector math; serializing
+    # it across chunks measured 0.23 GB/s where the vmapped pipeline runs
+    # two orders faster.  The unpack width-switch executes all 14 static
+    # widths under vmap — still cheap next to 64x chunk parallelism.
+    vlo, vhi, runs1, runs2, scalars, ts, ok = jax.vmap(
+        lambda a, b, c: _stage1(a, b, c, out_cap))(
+        comp, comp_u32, comp_sizes.astype(jnp.int32))
+    elo, ehi = jax.vmap(
+        lambda a, b, c, d, e: _expand_chunk(a, b, c, d, e, out_cap))(
+        vlo, vhi, runs1, runs2, scalars)
     return jax.vmap(lambda l, h, t, nn, o: _stage2(l, h, t, nn, o, out_cap))(
         elo, ehi, ts, scalars[:, 0], ok)
