@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--devices", nargs="+", type=int, default=None)
     ap.add_argument("-i", "--iterations", type=int, default=3)
     ap.add_argument("-c", "--csv-output", action="store_true")
+    ap.add_argument("--report", default=None,
+                    help="write a scaling-efficiency CSV here (adds "
+                         "efficiency vs the smallest measured device count "
+                         "and wire-bytes-saved columns; the north-star "
+                         "metric is >=85%% efficiency, BASELINE.md)")
     args = ap.parse_args()
 
     from tpucomp.utils import honor_jax_platforms_env
@@ -55,6 +60,7 @@ def main() -> None:
     if args.csv_output:
         print("devices,format,chunks,raw_bytes,wire_bytes,ratio,"
               "per_device_GBps,system_GBps")
+    report_rows = []
 
     for nd in dev_counts:
         if nd > len(all_devs):
@@ -62,6 +68,11 @@ def main() -> None:
             continue
         mesh = Mesh(np.array(all_devs[:nd]), ("chunks",))
         cb = ChunkBatch.from_bytes(buf, chunk_size=args.page_size)
+        # typed codecs (cascaded/bitcomp) reject chunks that are not a
+        # multiple of the element size — drop a ragged tail chunk (bench.py
+        # does the same)
+        if int(np.asarray(cb.sizes)[-1]) % 8 != 0:
+            cb = ChunkBatch(data=cb.data[:-1], sizes=cb.sizes[:-1])
         # chunk count must divide evenly over the mesh
         n = (cb.num_chunks // nd) * nd
         cb = ChunkBatch(data=cb.data[:n], sizes=cb.sizes[:n])
@@ -102,6 +113,7 @@ def main() -> None:
             # reference accounting: each device receives (N-1)/N of the data
             per_dev = (nd - 1) / nd * raw / best / 1e9 if nd > 1 else raw / best / 1e9
             system = per_dev * nd
+            report_rows.append((nd, fmt, n, raw, wire, per_dev, system))
             if args.csv_output:
                 print(f"{nd},{fmt},{n},{raw},{wire},{raw/max(wire,1):.2f},"
                       f"{per_dev:.4f},{system:.4f}")
@@ -109,6 +121,28 @@ def main() -> None:
                 print(f"[{nd} devices] {fmt:9s} chunks={n} raw={raw} "
                       f"wire={wire} ratio={raw/max(wire,1):.2f} "
                       f"per-device {per_dev:.3f} GB/s, system {system:.3f} GB/s")
+
+    if args.report:
+        # reference accounting model: per-device GB/s should stay flat as N
+        # grows (benchmark_allgather.cpp:454-470 reports per-GPU and system
+        # rates); efficiency(N) = per_dev(N) / per_dev(N0) with N0 the
+        # smallest measured multi-device count.  wire_saved = what
+        # compression kept off the interconnect.
+        base = {}
+        for nd, fmt, n, raw, wire, per_dev, system in report_rows:
+            if nd > 1 and (fmt not in base or nd < base[fmt][0]):
+                base[fmt] = (nd, per_dev)
+        with open(args.report, "w") as f:
+            f.write("devices,format,chunks,raw_bytes,wire_bytes,"
+                    "wire_saved_bytes,ratio,per_device_GBps,system_GBps,"
+                    "scaling_efficiency\n")
+            for nd, fmt, n, raw, wire, per_dev, system in report_rows:
+                eff = (per_dev / base[fmt][1]
+                       if fmt in base and nd > 1 else 1.0)
+                f.write(f"{nd},{fmt},{n},{raw},{wire},{raw - wire},"
+                        f"{raw/max(wire,1):.2f},{per_dev:.4f},"
+                        f"{system:.4f},{eff:.3f}\n")
+        print(f"wrote {args.report}", file=sys.stderr)
 
 
 if __name__ == "__main__":
