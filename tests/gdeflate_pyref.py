@@ -14,7 +14,7 @@ cross-implementation oracle for the vectorized JAX codec.
 
 Tile layout (little-endian; one tile per chunk, chunk <= 64 KiB):
   byte 0      u8   btype: 0 stored, 1 fixed-Huffman, 2 dynamic-Huffman
-  byte 1      u8   reserved (0)
+  byte 1      u8   framing version (TILE_VERSION = 1; readers accept <= 1)
   bytes 2-5   u32  n_tokens (0 for stored)
   bytes 6-9   u32  raw_size
   bytes 10-11 u16  hdr_bytes (dynamic table description length; 0 otherwise)
@@ -309,7 +309,7 @@ def compress(data: bytes, btype: int = 2) -> bytes:
     hdr_bytes = len(desc)
     desc += b"\x00" * (-len(desc) % 4)
 
-    out = bytearray(struct.pack("<BBIIH", btype, 0, n_tokens, len(data),
+    out = bytearray(struct.pack("<BBIIH", btype, 1, n_tokens, len(data),
                                 hdr_bytes))
     for d in D:
         out += struct.pack("<H", d)
@@ -374,7 +374,10 @@ def _read_sym(rd: _LaneReader, table):
 
 
 def decompress(tile: bytes) -> bytes:
-    btype, _, n_tokens, raw_size, hdr_bytes = struct.unpack_from("<BBIIH", tile)
+    btype, ver, n_tokens, raw_size, hdr_bytes = struct.unpack_from("<BBIIH",
+                                                                    tile)
+    if ver > 1:
+        raise ValueError(f"unsupported gdeflate tile version {ver}")
     if btype == 0:
         return bytes(tile[12:12 + raw_size])
     D = list(struct.unpack_from(f"<{N_LANES}H", tile, 12))

@@ -35,6 +35,44 @@ The encoder is fully vectorized (the refill schedule has a closed form:
 ``dwords_before_field = min(ceil((bit_prefix + 32)/32), lane_total)``); the
 decoder is a ``lax.scan`` over token rounds decoding 32 lanes per step — the
 same SIMD shape the format was designed for on GPUs.
+
+**Normative tile framing (version 1).**  One tile per chunk, little-endian;
+a reader can be implemented from this description plus RFC 1951 alone
+(``tests/gdeflate_pyref.py`` is such an implementation):
+
+  byte 0        u8   btype: 0 stored, 1 fixed-Huffman, 2 dynamic-Huffman
+  byte 1        u8   framing version (``TILE_VERSION`` = 1; readers accept
+                     <= 1 — version 0 marks round-1..4 frames with identical
+                     layout — and reject anything newer with a clean
+                     per-chunk error status)
+  bytes 2-5     u32  n_tokens (0 for stored tiles)
+  bytes 6-9     u32  raw_size (uncompressed byte count)
+  bytes 10-11   u16  hdr_bytes: dynamic table description length (btype 2
+                     only, else 0)
+  stored tiles: raw bytes at offset 12; total = 12 + raw_size.
+  Huffman tiles:
+  bytes 12-75   32 x u16 per-lane DWORD counts D_j
+  bytes 76..    table description (btype 2 only): RFC-1951 13.3.2.3-style
+                5+5+4-bit counts, 3-bit CL code lengths in ``CL_ORDER``,
+                then CL-coded literal+distance lengths, all LSB-first;
+                zero-padded to a multiple of 4 bytes
+  then          the shared DWORD stream: lane bitstreams interleaved in
+                refill-schedule order — lane j's k-th DWORD appears at
+                position ``#{(j', k') : k' < k or (k' == k and j' < j),
+                dwords_before_field(j', k') <= dwords_before_field(j, k)}``
+                per the closed form above; each lane consumes LSB-first.
+  Tokens round-robin over the 32 lanes in input order; literal = one
+  RFC-1951 literal code; match = length code (RFC-1951 bases/extras) +
+  5-bit distance-slot + extra bits addressing the 64 KiB window (slots
+  30/31 extend the RFC-1951 table to 49153..65536).
+
+**Delta to DirectStorage 1.1.**  The entropy layer (codes, extra bits,
+LSB-first packing, 64 KiB window) already matches; adapting to the
+published DirectStorage tile layout would localize to (a) the 12-byte
+header fields above vs DirectStorage's tile header, (b) the lane-DWORD
+count table encoding, and (c) the interleave tie-break order — i.e.
+:func:`tile_tables`, the assembly block in :func:`compress_chunk`, and the
+pyref's ``compress``.  No entropy-layer or kernel change would be needed.
 """
 from __future__ import annotations
 
@@ -55,6 +93,7 @@ from tpucomp.ops import parallel_lz as plz
 
 N_LANES = 32
 REFILL_BITS = 32
+TILE_VERSION = 1            # tile framing version byte (header byte 1)
 HDR = 12                    # fixed tile header
 LANE_TAB = 2 * N_LANES      # u16 lane dword counts
 PAYLOAD = HDR + LANE_TAB    # = 76: lane table end / desc start
@@ -300,7 +339,7 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: GdeflateOpts,
 
     pos = jnp.arange(out_cap, dtype=jnp.int32)
     hdr12 = jnp.stack([
-        btype, jnp.int32(0),
+        btype, jnp.int32(TILE_VERSION),
         n_tokens & 0xFF, (n_tokens >> 8) & 0xFF,
         (n_tokens >> 16) & 0xFF, (n_tokens >> 24) & 0xFF,
         size & 0xFF, (size >> 8) & 0xFF, (size >> 16) & 0xFF, (size >> 24) & 0xFF,
@@ -321,7 +360,8 @@ def encode_chunk(data: jax.Array, size: jax.Array, opts: GdeflateOpts,
     # ---- stored-tile fallback ----------------------------------------------------------
     stored_total = HDR + size
     stored_hdr = jnp.stack([
-        jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        jnp.int32(0), jnp.int32(TILE_VERSION), jnp.int32(0), jnp.int32(0),
+        jnp.int32(0),
         jnp.int32(0), size & 0xFF, (size >> 8) & 0xFF, (size >> 16) & 0xFF,
         (size >> 24) & 0xFF, jnp.int32(0), jnp.int32(0)])
     stored_out = jnp.where(pos < HDR, stored_hdr[jnp.clip(pos, 0, HDR - 1)],
@@ -355,6 +395,9 @@ def tile_tables(comp: jax.Array, comp_size: jax.Array):
     cp = jnp.pad(comp, (0, pad_to - cap)).astype(jnp.int32)
 
     btype = cp[0]
+    # version gate: tiles from a future framing version must fail decode
+    # cleanly rather than misparse (version 0 = round-1..4 frames, accepted)
+    ver_ok = cp[1] <= TILE_VERSION
     n_tokens = cp[2] | (cp[3] << 8) | (cp[4] << 16) | (cp[5] << 24)
     raw_size = cp[6] | (cp[7] << 8) | (cp[8] << 16) | (cp[9] << 24)
     hdr_bytes = cp[10] | (cp[11] << 8)
@@ -420,6 +463,7 @@ def tile_tables(comp: jax.Array, comp_size: jax.Array):
                              jnp.logical_and(lvalid, dvalid))
     tbl_ok = jnp.logical_and(
         tbl_ok, jnp.where(is_dyn, jnp.logical_not(cl_err), True))
+    tbl_ok = jnp.logical_and(tbl_ok, ver_ok)
     return (btype, n_tokens, raw_size, D,
             (lcount, lfirst, loffset, lsor),
             (dcount, dfirst, doffset, dsor), dw_start, tbl_ok)

@@ -104,6 +104,8 @@ def _kernel(out_cap: int, w_words: int,
 
     err = csize < HDR
     err = jnp.logical_or(err, btype > 2)
+    # framing version byte (header byte 1; formats/gdeflate.py TILE_VERSION)
+    err = jnp.logical_or(err, getb(jnp.int32(1)) > 1)
     err = jnp.logical_or(err, jnp.logical_or(raw < 0, n_tok < 0))
     too_big = jnp.logical_and(jnp.logical_not(err), raw > out_cap)
     # each token produces at least one output byte
