@@ -1,23 +1,33 @@
 #!/bin/bash
-# One-command measurement sweep for when the axon tunnel returns:
+# One-command round-5 measurement sweep (also the recovery path when the
+# axon tunnel returns after an outage):
 #   bash benchmarks/tpu_recovery_run.sh [results_dir]
-# Produces the round's missing TPU numbers: per-kernel validation +
-# throughput on both corpora, then the headline bench JSON.
+# Produces every TPU artifact the round needs: device calibration, the
+# four per-kernel validation+throughput CSVs (synthetic mixed/mortgage +
+# real text/float data), the HLIF manager table on both corpora, and the
+# headline bench JSON.  Everything uses the marginal chained protocol
+# (BENCH_NOTES round-5).
 set -u
 OUT="${1:-results}"
 mkdir -p "$OUT"
 stamp=$(date +%Y%m%d_%H%M)
 
-echo "== pallas kernel report (mixed corpus) ==" >&2
-timeout 3600 python benchmarks/pallas_kernel_report.py --mb 4 \
-    --csv "$OUT/kernels_mixed_$stamp.csv" \
-    | tee "$OUT/kernels_mixed_$stamp.txt"
+echo "== device calibration ==" >&2
+timeout 1200 python benchmarks/calibrate.py --json "$OUT/calibration_r5.json"
 
-echo "== pallas kernel report (mortgage headline corpus) ==" >&2
-timeout 3600 python benchmarks/pallas_kernel_report.py --mb 4 \
-    --dataset mortgage \
-    --csv "$OUT/kernels_mortgage_$stamp.csv" \
-    | tee "$OUT/kernels_mortgage_$stamp.txt"
+for ds in mixed mortgage realtext realfloat; do
+  echo "== pallas kernel report ($ds) ==" >&2
+  timeout 5400 python benchmarks/pallas_kernel_report.py --mb 4 \
+      --dataset "$ds" \
+      --csv "$OUT/kernels_${ds}_r5.csv" \
+      | tee "$OUT/kernels_${ds}_r5.txt"
+done
+
+for ds in mixed mortgage; do
+  echo "== HLIF benchmark ($ds) ==" >&2
+  timeout 5400 python benchmarks/benchmark_hlif.py all --dataset "$ds" \
+      --synthetic-mb 4 --csv "$OUT/hlif_${ds}_r5.csv"
+done
 
 echo "== headline bench ==" >&2
-timeout 3600 python bench.py --mb 16 | tee "$OUT/bench_$stamp.json"
+timeout 3600 python bench.py --mb 32 | tee "$OUT/bench_r5_$stamp.json"
