@@ -136,3 +136,33 @@ def test_encode_via_batched_backend_param():
     dec, dstat = batched.decompress("ans", comp, 4096, backend="xla")
     assert (np.asarray(dstat) == Status.SUCCESS).all()
     assert np.asarray(dec.data).reshape(-1)[:len(buf)].tobytes() == buf
+
+
+def test_wide_kernel_round_trip_odd_batch_and_corrupt():
+    """Round-5 wide kernel (G chunks per grid step): bit-exact on an odd
+    batch size (forces dummy-chunk padding), zero-size chunks, and isolated
+    per-chunk failure on corruption."""
+    import jax
+    import jax.numpy as jnp
+    buf = synth.mixed_corpus(3 * 65536 + 1000, seed=11).tobytes()
+    raws = [buf[:65536], b"", buf[65536:131072], buf[131072:], b"\x00" * 37]
+    cb = ChunkBatch.from_chunks(raws)
+    cap = fans.max_compressed_chunk_size(cb.max_chunk_bytes)
+    co, cs, st = jax.jit(lambda d, s: fans.compress_batch(
+        d, s, fans.DEFAULT_OPTS, cap))(cb.data, cb.sizes)
+    co, cs = np.asarray(co), np.asarray(cs)
+    assert (np.asarray(st) == Status.SUCCESS).all()
+    dec, dsz, dst = map(np.asarray, ans_decode.decompress_batch_wide(
+        jnp.asarray(co), jnp.asarray(cs), cb.max_chunk_bytes,
+        interpret=True))
+    assert (dst == Status.SUCCESS).all()
+    assert (dsz == np.asarray(cb.sizes)).all()
+    assert (dec == np.asarray(cb.data)).all()
+    bad = co.copy()
+    bad[2, 600:640] ^= 0xFF
+    _, bsz, bst = map(np.asarray, ans_decode.decompress_batch_wide(
+        jnp.asarray(bad), jnp.asarray(cs), cb.max_chunk_bytes,
+        interpret=True))
+    assert bst[2] == Status.ERROR_CANNOT_DECOMPRESS and bsz[2] == 0
+    keep = [0, 1, 3, 4]
+    assert (bst[keep] == Status.SUCCESS).all()

@@ -1,7 +1,19 @@
-"""Pallas/Mosaic rANS decoder: fully vectorized, no gathers, no scalar walk.
+"""Pallas/Mosaic rANS decoders: fully vectorized, no gathers, no scalar walk.
 
 TPU analog of the reference's GPU-native ANS decode (``README.md:17`` — the
-one format nvCOMP exposes a device-side API for).  Unlike the LZ kernels
+one format nvCOMP exposes a device-side API for).  Two kernels share the v2
+container:
+
+* :func:`decompress_batch_wide` — the PRODUCT path (round 5): G=8 chunks'
+  lane sets advance together per grid step, table lookups are monotone-mask
+  reductions over a (256, G*128) working set, rank/renorm use log-step lane
+  rolls.  2.1x the single-chunk kernel; see PERF_MODEL §7.4 for the
+  measured per-stage budget (cross-lane rolls are the current floor).
+* :func:`decompress_batch` / :func:`decode_block` — the single-chunk kernel
+  kept as the device-side API building block (callable from other Pallas
+  kernels, the ``README.md:17`` analog).
+
+Unlike the LZ kernels
 (serial token walk on the scalar core), rANS decode is *vector-native* on TPU:
 the 128 interleaved lane states advance in lockstep, and every per-lane table
 lookup is rewritten as a compare/one-hot reduction or a small f32 matmul —
