@@ -36,7 +36,7 @@ from tpucomp.constants import (
 )
 from tpucomp.chunk import ChunkBatch, plan_chunks, plan_chunks_page_prefixed
 
-__version__ = "0.3.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "ChunkBatch",
