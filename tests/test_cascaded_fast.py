@@ -172,3 +172,40 @@ def test_pack_static_all_widths_large_jit():
         l2, h2 = jax.jit(lambda w, b=b: cf._unpack_static(w, b, cap))(w)
         assert (np.asarray(l2) == lo).all(), b
         assert (np.asarray(h2) == hi).all(), b
+
+
+def test_expand_pass_vs_numpy():
+    """Round-5 vectorized RLE expand (scatter+cumsum+gather) vs np.repeat,
+    including masked tails, single-run, and run-dense (all-ones) cases."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    cap = 4096
+    cases = [
+        rng.integers(1, 9, 700),               # mixed runs
+        np.ones(cap // 2, np.int64),           # run-dense
+        np.array([cap]),                       # one run covering everything
+        np.array([1]),                         # single element
+    ]
+    for runs in cases:
+        runs = runs.astype(np.int64)
+        total = int(runs.sum())
+        if total > cap:
+            continue
+        n_runs = len(runs)
+        vals_lo = rng.integers(0, 1 << 32, n_runs, dtype=np.uint64) \
+            .astype(np.uint32)
+        vals_hi = rng.integers(0, 1 << 32, n_runs, dtype=np.uint64) \
+            .astype(np.uint32)
+        lo_in = np.zeros(cap, np.uint32)
+        hi_in = np.zeros(cap, np.uint32)
+        r_in = np.zeros(cap, np.int32)
+        lo_in[:n_runs], hi_in[:n_runs] = vals_lo, vals_hi
+        r_in[:n_runs] = runs
+        lo, hi = jax.jit(lambda l, h, r, n: cf._expand_pass(
+            l, h, r, n, cap))(jnp.asarray(lo_in), jnp.asarray(hi_in),
+                              jnp.asarray(r_in), jnp.int32(n_runs))
+        want_lo = np.repeat(vals_lo, runs)
+        want_hi = np.repeat(vals_hi, runs)
+        assert (np.asarray(lo)[:total] == want_lo).all()
+        assert (np.asarray(hi)[:total] == want_hi).all()
