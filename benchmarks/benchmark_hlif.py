@@ -128,14 +128,23 @@ def main() -> None:
             print(f"{fmt:9s} FAILED: {e}", file=sys.stderr)
             rows.append((fmt, 0.0, 0.0, 0.0, False, 0.0, 0.0))
     if args.csv:
+        hbm = 682.0
+        try:
+            import json as _json
+            with open("results/calibration_r5.json") as cf:
+                hbm = _json.load(cf)["verdict"]["hbm_gbs"]
+        except Exception:  # noqa: BLE001
+            pass
         with open(args.csv, "w") as f:
             f.write("dataset,format,ratio,compress_gbs,decompress_gbs,"
-                    "bit_exact,compress_compile_s,decompress_compile_s,"
+                    "decomp_pct_of_hbm_roofline,bit_exact,"
+                    "compress_compile_s,decompress_compile_s,"
                     "corpus_mb,chunk_kb\n")
             for fmt, ratio, cg, dg, ok, cc, dc in rows:
                 f.write(f"{args.dataset},{fmt},{ratio:.2f},{cg:.4f},"
-                        f"{dg:.4f},{ok},{cc:.1f},{dc:.1f},"
-                        f"{args.synthetic_mb},{args.chunk_size // 1024}\n")
+                        f"{dg:.4f},{100 * dg / hbm:.3f},{ok},{cc:.1f},"
+                        f"{dc:.1f},{args.synthetic_mb},"
+                        f"{args.chunk_size // 1024}\n")
         log(f"wrote {args.csv}")
 
 

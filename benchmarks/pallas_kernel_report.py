@@ -356,14 +356,25 @@ def main() -> None:
               f"{cs_:9.0f}")
     if args.csv:
         import jax as _j
+        # measured HBM roofline from results/calibration_r5.json (falls
+        # back to the committed 682 GB/s if absent) — VERDICT r4 #1: every
+        # row expressible as a fraction of a measured roofline
+        hbm = 682.0
+        try:
+            import json as _json
+            with open("results/calibration_r5.json") as cf:
+                hbm = _json.load(cf)["verdict"]["hbm_gbs"]
+        except Exception:  # noqa: BLE001 - calibration not run yet
+            pass
         with open(args.csv, "w") as f:
             f.write("dataset,device,format,direction,oracle,bit_exact,"
-                    "gbs,compile_s,corpus_mb,chunk_kb\n")
+                    "gbs,pct_of_hbm_roofline,compile_s,corpus_mb,"
+                    "chunk_kb\n")
             devname = str(_j.devices()[0]).replace(",", ";")
             for fmt, d, oracle, ok, gbs, cs_ in results:
                 f.write(f"{args.dataset},{devname},{fmt},{d},{oracle},"
-                        f"{ok},{gbs:.4f},{cs_:.1f},{args.mb},"
-                        f"{args.chunk_kb}\n")
+                        f"{ok},{gbs:.4f},{100 * gbs / hbm:.3f},"
+                        f"{cs_:.1f},{args.mb},{args.chunk_kb}\n")
         log(f"wrote {args.csv}")
     bad = [r for r in results if not r[3]]
     sys.exit(1 if bad else 0)
