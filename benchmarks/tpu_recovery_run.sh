@@ -29,5 +29,8 @@ for ds in mixed mortgage; do
       --synthetic-mb 4 --csv "$OUT/hlif_${ds}_r5.csv"
 done
 
+echo "== r5 extra rows (zstd ladder, cascaded flagship) ==" >&2
+timeout 3600 python benchmarks/r5_extra_measurements.py --csv "$OUT/r5_extra.csv"
+
 echo "== headline bench ==" >&2
 timeout 3600 python bench.py --mb 32 | tee "$OUT/bench_r5_$stamp.json"

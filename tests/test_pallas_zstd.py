@@ -288,3 +288,19 @@ def test_big_path_corrupt_input_yields_status():
         assert int(stat[i]) in legal, (i, stat[i])
         if stat[i] != Status.SUCCESS:
             assert osz[i] == 0, i
+
+
+@pytest.mark.skipif(not HAVE, reason="python-zstandard missing")
+def test_encode_speed_rung_zstandard_bit_exact():
+    """The predefined-FSE speed rung (exact_entropy=False) skips the hist
+    walk but must still emit valid frames for every edge case."""
+    from tpucomp.ops.pallas import zstd_encode
+    chunks = _raws()
+    cb = ChunkBatch.from_chunks(chunks)
+    cap = fzstd.max_compressed_chunk_size(cb.max_chunk_bytes)
+    out, osz, stat = map(np.asarray, zstd_encode.compress_batch(
+        cb.data, cb.sizes, cap, interpret=True, exact_entropy=False))
+    for i, c in enumerate(chunks):
+        assert stat[i] == Status.SUCCESS, (i, stat[i])
+        got = interop.zstd_decompress(out[i, :osz[i]].tobytes(), len(c))
+        assert got == c, i

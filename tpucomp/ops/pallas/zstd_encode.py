@@ -104,6 +104,35 @@ FSE_TT = ((O2_META + 8 + 127) // 128) * 128   # TPU SMEM blocks: 128-aligned
 NC_CAP = 512               # ncount byte region (3 tables <= ~80 B each)
 
 
+def _predef_fse_tab() -> np.ndarray:
+    """Constant FSE table block in the exact `_seq_tables` layout, predefined
+    tables only (scm=0, no ncount bytes) — the speed rung's sequence side."""
+    from tpucomp.formats.zstd import (LL_DEFAULT_ACC, LL_ENC, ML_DEFAULT_ACC,
+                                      ML_ENC, OF_DEFAULT_ACC, OF_ENC)
+
+    def pack(def_enc, size_c, rows):
+        st, nb, bs, first = (np.asarray(a) for a in def_enc)
+        st = np.pad(st, ((0, rows - st.shape[0]), (0, size_c - st.shape[1])))
+        nb = np.pad(nb, ((0, rows - nb.shape[0]), (0, size_c - nb.shape[1])))
+        bs = np.pad(bs, ((0, rows - bs.shape[0]), (0, size_c - bs.shape[1])))
+        first = np.pad(first, (0, rows - first.shape[0]))
+        return ((st | (nb << 10) | (bs << 14)).reshape(-1).astype(np.int32),
+                first.astype(np.int32))
+
+    p_ll, f_ll = pack(LL_ENC, 512, 36)
+    p_ml, f_ml = pack(ML_ENC, 512, 53)
+    p_of, f_of = pack(OF_ENC, 256, 32)
+    meta = np.array([LL_DEFAULT_ACC, ML_DEFAULT_ACC, OF_DEFAULT_ACC,
+                     0, 0, 0, 0, 0], np.int32)
+    tab = np.concatenate([p_ll, p_ml, p_of, f_ll, f_ml, f_of, meta])
+    return np.pad(tab, (0, FSE_TT - tab.shape[0])).astype(np.int32)
+
+
+_PREDEF_FSE_TAB = _predef_fse_tab()
+
+
+
+
 def _seq_tables(sch):
     """Phase B for the sequence side: exact code histograms -> per-chunk
     FSE encode tables (custom mode-2 where they pay, else the predefined
@@ -764,9 +793,11 @@ def _kernel(out_cap: int, w_words: int, n_slabs: int, cap_seq: int,
             jnp.int32(Status.SUCCESS))
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_cap", "interpret",
+                                    "exact_entropy"))
 def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
-                   interpret: bool = False):
+                   interpret: bool = False, exact_entropy: bool = True):
     """Batched Zstd encode, Pallas backend.  Same contract as
     :func:`tpucomp.formats.zstd.compress_batch` (complete zstd frames; the
     literal/entropy choices differ — both decode with python-zstandard and
@@ -803,42 +834,6 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
     # runs once in ``hist`` mode (match-covered bytes polluted the whole-
     # chunk histogram and cost ~0.3-0.7 ratio on mixed data); the emitting
     # call then receives codes tuned to precisely the bytes it will emit.
-    with jax.enable_x64(False):
-        freq, sch = pl.pallas_call(
-            functools.partial(_kernel, out_cap, wpad // 4, n_slabs,
-                              cap_seq0, 0, "hist"),
-            grid=(B, n_slabs),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, wpad // 4), lambda i, s: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, 258), lambda i, s: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, bc.BLK), lambda i, s: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, lpad // bc.BLK, bc.BLK),
-                             lambda i, s: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
-            out_shape=[jax.ShapeDtypeStruct((B, 256), jnp.int32),
-                       jax.ShapeDtypeStruct((B, 121), jnp.int32)],
-            scratch_shapes=[pltpu.SMEM((8,), jnp.int32),
-                            pltpu.SMEM((cap_seq0,), jnp.int32),
-                            pltpu.SMEM((cap_seq0,), jnp.int32),
-                            pltpu.SMEM((cap // 4 + 8,), jnp.int32)],
-            interpret=interpret,
-        )(sizes, jnp.zeros((B, 1, wpad // 4), jnp.int32) + words,
-          cand, cand8, nxt, jnp.asarray(_CONST),
-          jnp.zeros((B, 1, 258), jnp.int32),
-          jnp.zeros((B, 1, bc.BLK), jnp.int32), lanes)
     # grouped map-of-vmap: fully vmapped table builders compiled in 38+17 s
     # at B=64 and fully serial lax.map cost ~360 ms of runtime; vmap groups
     # of 8 under lax.map keep compile ~B-independent and the serialization
@@ -852,10 +847,59 @@ def compress_batch(data: jax.Array, sizes: jax.Array, out_cap: int,
         return jax.tree_util.tree_map(
             lambda o: o.reshape(-1, *o.shape[2:])[:Bx], out)
 
-    fse_tab, nc_bytes = _grouped(_seq_tables, sch)
     nc_rows = (NC_CAP + bc.PAD_BYTES) // bc.BLK
-    nc_lanes = jnp.pad(nc_bytes, ((0, 0), (0, nc_rows * bc.BLK - NC_CAP)))
-    nc_lanes = nc_lanes.reshape(B, nc_rows, bc.BLK)
+    if not exact_entropy:
+        # speed rung: whole-chunk byte histogram (match-covered bytes
+        # pollute it — costs ~0.3-0.7 ratio on mixed) + predefined FSE
+        # sequence tables; skips the hist walk entirely
+        freq = jax.vmap(lambda d, n: jnp.zeros((256,), jnp.int32)
+                        .at[d.astype(jnp.int32)].add(
+                            (jnp.arange(cap) < n).astype(jnp.int32)))(
+            data, sizes)
+        fse_tab = jnp.tile(jnp.asarray(_PREDEF_FSE_TAB)[None],
+                           (data.shape[0], 1))
+        nc_lanes = jnp.zeros((data.shape[0], nc_rows, bc.BLK), jnp.int32)
+    else:
+        with jax.enable_x64(False):
+            freq, sch = pl.pallas_call(
+                functools.partial(_kernel, out_cap, wpad // 4, n_slabs,
+                                  cap_seq0, 0, "hist"),
+                grid=(B, n_slabs),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, wpad // 4), lambda i, s: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, SLAB), lambda i, s: (i, 0, s),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, 258), lambda i, s: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((1, 1, bc.BLK), lambda i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, lpad // bc.BLK, bc.BLK),
+                                 lambda i, s: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+                out_shape=[jax.ShapeDtypeStruct((B, 256), jnp.int32),
+                           jax.ShapeDtypeStruct((B, 121), jnp.int32)],
+                scratch_shapes=[pltpu.SMEM((8,), jnp.int32),
+                                pltpu.SMEM((cap_seq0,), jnp.int32),
+                                pltpu.SMEM((cap_seq0,), jnp.int32),
+                                pltpu.SMEM((cap // 4 + 8,), jnp.int32)],
+                interpret=interpret,
+            )(sizes, jnp.zeros((B, 1, wpad // 4), jnp.int32) + words,
+              cand, cand8, nxt, jnp.asarray(_CONST),
+              jnp.zeros((B, 1, 258), jnp.int32),
+              jnp.zeros((B, 1, bc.BLK), jnp.int32), lanes)
+        fse_tab, nc_bytes = _grouped(_seq_tables, sch)
+        nc_rows = (NC_CAP + bc.PAD_BYTES) // bc.BLK
+        nc_lanes = jnp.pad(nc_bytes, ((0, 0), (0, nc_rows * bc.BLK - NC_CAP)))
+        nc_lanes = nc_lanes.reshape(B, nc_rows, bc.BLK)
 
     codes, nbits, tree_u8, tree_bytes, tok = _grouped(fzstd._huf_tree, freq)
     tot = jnp.maximum(jnp.sum(freq, axis=1), 1)
