@@ -166,3 +166,22 @@ def test_wide_kernel_round_trip_odd_batch_and_corrupt():
     assert bst[2] == Status.ERROR_CANNOT_DECOMPRESS and bsz[2] == 0
     keep = [0, 1, 3, 4]
     assert (bst[keep] == Status.SUCCESS).all()
+
+
+def test_wide_encoder_byte_identical():
+    """compress_batch_wide emits byte-identical frames to the single-chunk
+    kernel and the XLA scan encoder (odd batch -> dummy-chunk padding)."""
+    import jax
+    from tpucomp.ops.pallas import ans_encode
+    buf = synth.mixed_corpus(3 * 8192 + 500, seed=13).tobytes()
+    raws = [buf[o:o + 8192] for o in range(0, len(buf), 8192)] + [b"", b"x"]
+    cb = ChunkBatch.from_chunks(raws)
+    cap = fans.max_compressed_chunk_size(cb.max_chunk_bytes)
+    ow, osw, stw = map(np.asarray, ans_encode.compress_batch_wide(
+        cb.data, cb.sizes, cap, interpret=True))
+    assert (stw == Status.SUCCESS).all()
+    ox, osx, stx = map(np.asarray, jax.jit(
+        lambda d, s: fans.compress_batch(d, s, fans.DEFAULT_OPTS, cap))(
+        cb.data, cb.sizes))
+    assert (osw == osx).all()
+    assert (ow == ox).all()

@@ -203,10 +203,12 @@ def _snappy_compress_batch(data, sizes, opts, out_cap):
 
 def _ans_compress_batch(data, sizes, opts, out_cap):
     import jax
+    # wide kernel (round 5): G chunks per grid step, byte-identical frames;
+    # the single-chunk kernel stays as the device-side API building block
     from tpucomp.ops.pallas import ans_encode
     interpret = jax.default_backend() != "tpu"
-    return ans_encode.compress_batch(data, sizes, out_cap,
-                                     interpret=interpret)
+    return ans_encode.compress_batch_wide(data, sizes, out_cap,
+                                          interpret=interpret)
 
 
 def _deflate_compress_batch(data, sizes, opts, out_cap):
