@@ -2,20 +2,26 @@
 # One-command round-5 measurement sweep (also the recovery path when the
 # axon tunnel returns after an outage):
 #   bash benchmarks/tpu_recovery_run.sh [results_dir]
-# Produces every TPU artifact the round needs: device calibration, the
-# four per-kernel validation+throughput CSVs (synthetic mixed/mortgage +
-# real text/float data), the HLIF manager table on both corpora, and the
-# headline bench JSON.  Everything uses the marginal chained protocol
-# (BENCH_NOTES round-5).
+# Ordered by artifact value so a late-returning tunnel still produces the
+# most important tables first.  Everything uses the marginal chained
+# protocol (BENCH_NOTES round-5).
 set -u
 OUT="${1:-results}"
 mkdir -p "$OUT"
 stamp=$(date +%Y%m%d_%H%M)
 
-echo "== device calibration ==" >&2
-timeout 1200 python benchmarks/calibrate.py --json "$OUT/calibration_r5.json"
+for ds in mixed mortgage; do
+  echo "== pallas kernel report ($ds) ==" >&2
+  timeout 5400 python benchmarks/pallas_kernel_report.py --mb 4 \
+      --dataset "$ds" \
+      --csv "$OUT/kernels_${ds}_r5.csv" \
+      | tee "$OUT/kernels_${ds}_r5.txt"
+done
 
-for ds in mixed mortgage realtext realfloat; do
+echo "== r5 extra rows (zstd ladder, cascaded flagship) ==" >&2
+timeout 3600 python benchmarks/r5_extra_measurements.py --csv "$OUT/r5_extra.csv"
+
+for ds in realtext realfloat; do
   echo "== pallas kernel report ($ds) ==" >&2
   timeout 5400 python benchmarks/pallas_kernel_report.py --mb 4 \
       --dataset "$ds" \
@@ -29,8 +35,8 @@ for ds in mixed mortgage; do
       --synthetic-mb 4 --csv "$OUT/hlif_${ds}_r5.csv"
 done
 
-echo "== r5 extra rows (zstd ladder, cascaded flagship) ==" >&2
-timeout 3600 python benchmarks/r5_extra_measurements.py --csv "$OUT/r5_extra.csv"
+echo "== device calibration (refresh) ==" >&2
+timeout 1200 python benchmarks/calibrate.py --json "$OUT/calibration_r5.json"
 
 echo "== headline bench ==" >&2
 timeout 3600 python bench.py --mb 32 | tee "$OUT/bench_r5_$stamp.json"
